@@ -1,0 +1,125 @@
+"""Configuration dataclasses for the dsp_tpu framework.
+
+The reference (AuCson/DSP-Speech-Recognition; checkout unavailable — see
+SURVEY.md §0) hard-codes its DSP constants at module top (sr=16000,
+25 ms / 10 ms framing, 13 MFCCs, energy/ZCR thresholds).  Here every knob
+lives in a frozen, hashable dataclass so configs can be passed to
+``jax.jit`` as static arguments and hashed into compilation caches.
+
+Conventions locked here (and mirrored bit-for-bit by ``dsp_tpu.golden``):
+
+* pre-emphasis ``y[n] = x[n] - 0.97 x[n-1]``, ``y[0] = x[0]``
+* 25 ms Hamming frames, 10 ms hop, symmetric window
+* NFFT=512 power spectrum ``|X|^2 / NFFT``
+* 26 triangular HTK-style mel filters over [0, sr/2]
+* log (floored) -> orthonormal DCT-II -> 13 coefficients -> lifter L=22
+* delta / delta-delta: +/-2-frame regression with edge replication
+* DTW: Euclidean local cost, steps {(1,0),(0,1),(1,1)} weight 1,
+  distance normalised by (T_a + T_b)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """MFCC front-end parameters (classical defaults)."""
+
+    sample_rate: int = 16000
+    preemphasis: float = 0.97
+    frame_len: int = 400        # 25 ms @ 16 kHz
+    hop_len: int = 160          # 10 ms @ 16 kHz
+    n_fft: int = 512
+    n_mels: int = 26
+    n_mfcc: int = 13
+    fmin: float = 0.0
+    fmax: Optional[float] = None   # defaults to sample_rate / 2
+    lifter: int = 22               # 0 disables liftering
+    delta_width: int = 2           # +/- frames for delta regression
+    add_deltas: bool = True        # append delta + delta-delta => 39-dim
+    use_energy: bool = False       # replace c0 with log frame energy
+    log_floor: float = 1e-10
+
+    @property
+    def fmax_hz(self) -> float:
+        return self.fmax if self.fmax is not None else self.sample_rate / 2.0
+
+    @property
+    def n_feats(self) -> int:
+        return self.n_mfcc * (3 if self.add_deltas else 1)
+
+    @property
+    def n_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class VadConfig:
+    """Energy/ZCR double-threshold endpoint detector parameters.
+
+    The detector is specified (not copied — no reference checkout exists)
+    as the classic Rabiner two-level algorithm:
+
+    * noise statistics come from the first ``n_init`` frames;
+    * a frame is *loud* if energy > ``e_high``, *audible* if > ``e_low``
+      where the thresholds are ``noise_mean * mult`` (floored by an
+      absolute epsilon so digital silence does not divide by zero);
+    * speech starts when energy stays above ``e_high`` for
+      ``min_speech_frames``; the start is then extended backwards while
+      energy > ``e_low`` or ZCR > ``zcr_thresh`` (to capture unvoiced
+      consonants); symmetrically for the end;
+    * speech ends after ``max_silence_frames`` below ``e_low``.
+    """
+
+    n_init: int = 10
+    e_high_mult: float = 8.0
+    e_low_mult: float = 2.0
+    e_abs_floor: float = 1e-6      # absolute energy floor added to noise mean
+    zcr_mult: float = 2.0          # zcr_thresh = noise_zcr_mean * zcr_mult
+    min_speech_frames: int = 5
+    max_silence_frames: int = 15
+    hangover_frames: int = 8       # frames kept after the detected end
+
+
+@dataclasses.dataclass(frozen=True)
+class DtwConfig:
+    """DTW matcher parameters."""
+
+    band_frac: Optional[float] = None  # Sakoe-Chiba band as fraction of max(T,U); None = full
+    squared: bool = False              # use squared Euclidean local cost
+    big: float = 1e30                  # finite "infinity" for masked cells
+
+
+@dataclasses.dataclass(frozen=True)
+class HmmConfig:
+    """Left-to-right GMM-HMM parameters (per word model)."""
+
+    n_states: int = 5
+    n_mix: int = 3
+    var_floor: float = 1e-3
+    n_iter: int = 10
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end recognizer pipeline configuration."""
+
+    frontend: FrontendConfig = FrontendConfig()
+    vad: VadConfig = VadConfig()
+    dtw: DtwConfig = DtwConfig()
+    max_samples: int = 32000       # 2 s @ 16 kHz padded signal length
+    max_frames: int = 198          # frames for max_samples: 1+(32000-400)//160
+    use_vad: bool = True
+
+    def __post_init__(self):
+        f = self.frontend
+        want = 1 + max(0, (self.max_samples - f.frame_len)) // f.hop_len
+        if self.max_frames != want:
+            object.__setattr__(self, "max_frames", want)
+
+
+DEFAULT_PIPELINE = PipelineConfig()

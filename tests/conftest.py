@@ -1,0 +1,19 @@
+"""Test configuration.
+
+Tests run on CPU with 8 fake XLA devices so the multi-device sharding
+paths (SURVEY.md §4.4) are exercised without a TPU pod.  Must set the
+environment before jax is first imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
