@@ -1,0 +1,129 @@
+"""TPU-native dynamic time warping.
+
+The reference computes DTW with a nested Python DP loop (SURVEY.md L3).
+The TPU rebuild splits the work by hardware unit:
+
+* **Local cost matrix -> MXU.**  Euclidean cost expands to
+  ``|a|^2 + |b|^2 - 2 a.b``; the cross term is one batched matmul
+  ``[T,F] @ [F,U]``, batched again over (utterance x template) pairs.
+
+* **DP recurrence -> VPU via min-plus associative scan.**  Within a row,
+
+      D[i,j] = c[i,j] + min(m[j], D[i,j-1]),
+      m[j]   = min(D[i-1,j], D[i-1,j-1])
+
+  is affine in the (min,+) semiring: D_j = min(A_j, D_{j-1} + c_j) with
+  A_j = m_j + c_j.  These elements compose associatively:
+
+      (A2,c2) o (A1,c1) = (min(A2, A1 + c2), c1 + c2)
+
+  so a row is solved by `lax.associative_scan` in O(log U) vector steps,
+  and a `lax.scan` walks the T rows.  No gathers, no diagonal skewing.
+
+Variable lengths are handled with a finite BIG mask (1e30 — no infs, so
+no NaN traps) and the answer is read from cell (len_a-1, len_b-1) via a
+one-hot dot accumulated during the row scan.  Exact-parity oracle:
+dsp_tpu/golden/dtw.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dsp_tpu.config import DtwConfig
+
+BIG = 1e30
+
+
+def pairwise_sq_cost(a: jax.Array, b: jax.Array,
+                     precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Squared Euclidean cost matrix: a [T,F], b [U,F] -> [T,U] (>=0)."""
+    cross = jnp.matmul(a, b.T, precision=precision)
+    sq_a = jnp.sum(a * a, axis=-1, keepdims=True)
+    sq_b = jnp.sum(b * b, axis=-1, keepdims=True).T
+    return jnp.maximum(sq_a + sq_b - 2.0 * cross, 0.0)
+
+
+def _minplus_combine(e1, e2):
+    """Compose D -> min(A2, (min(A1, D + c1)) + c2); e1 is the earlier op."""
+    a1, c1 = e1
+    a2, c2 = e2
+    return jnp.minimum(a2, a1 + c2), c1 + c2
+
+
+def dtw_from_cost(cost: jax.Array, len_a: jax.Array, len_b: jax.Array) -> jax.Array:
+    """DP over a (masked) cost matrix [T, U] -> normalised DTW distance.
+
+    ``cost`` must already be BIG at masked cells (cols >= len_b, banded
+    region).  Rows >= len_a are never read.
+    """
+    t, u = cost.shape
+    onehot_end = (jnp.arange(u) == len_b - 1).astype(cost.dtype)
+
+    def row_step(carry, inp):
+        d_prev, acc = carry
+        c_row, i = inp
+        start_val = jnp.where(i == 0, 0.0, BIG).astype(cost.dtype)
+        shifted = jnp.concatenate([start_val[None], d_prev[:-1]])
+        m = jnp.minimum(d_prev, shifted)
+        a = m + c_row
+        d_row, _ = jax.lax.associative_scan(_minplus_combine, (a, c_row))
+        hit = jnp.sum(d_row * onehot_end)
+        acc = jnp.where(i == len_a - 1, hit, acc)
+        return (d_row, acc), None
+
+    init = (jnp.full((u,), BIG, cost.dtype), jnp.asarray(0.0, cost.dtype))
+    (_, dist), _ = jax.lax.scan(row_step, init, (cost, jnp.arange(t)))
+    return dist / (len_a + len_b).astype(cost.dtype)
+
+
+def masked_cost(a: jax.Array, b: jax.Array, len_a: jax.Array, len_b: jax.Array,
+                cfg: DtwConfig = DtwConfig(),
+                precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Local cost with length + optional Sakoe-Chiba band masking."""
+    sq = pairwise_sq_cost(a, b, precision)
+    cost = sq if cfg.squared else jnp.sqrt(sq)
+    t, u = cost.shape
+    j = jnp.arange(u)[None, :]
+    invalid = j >= len_b
+    if cfg.band_frac is not None:
+        i = jnp.arange(t, dtype=cost.dtype)[:, None]
+        radius = jnp.maximum(1.0, cfg.band_frac * jnp.maximum(len_a, len_b))
+        scale = (len_b - 1).astype(cost.dtype) / jnp.maximum(len_a - 1, 1)
+        invalid = invalid | (jnp.abs(j.astype(cost.dtype) - i * scale) > radius)
+    return jnp.where(invalid, jnp.asarray(cfg.big, cost.dtype), cost)
+
+
+def dtw_distance(a: jax.Array, b: jax.Array,
+                 len_a: jax.Array | None = None,
+                 len_b: jax.Array | None = None,
+                 cfg: DtwConfig = DtwConfig(),
+                 precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """DTW distance between a [T,F] and b [U,F] (padded, with true lengths)."""
+    if len_a is None:
+        len_a = jnp.asarray(a.shape[0])
+    if len_b is None:
+        len_b = jnp.asarray(b.shape[0])
+    cost = masked_cost(a, b, len_a, len_b, cfg, precision)
+    return dtw_from_cost(cost, len_a, len_b)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def dtw_batch(queries: jax.Array, q_lens: jax.Array,
+              bank: jax.Array, bank_lens: jax.Array,
+              cfg: DtwConfig = DtwConfig(),
+              precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """All-pairs DTW: queries [B,T,F] x bank [K,U,F] -> distances [B,K].
+
+    This is the headline benchmark op (BASELINE.json config 1): the cost
+    matmuls batch over B*K pairs on the MXU, the row scan is shared.
+    """
+    def one(q, ql, t, tl):
+        return dtw_distance(q, t, ql, tl, cfg, precision)
+
+    per_template = jax.vmap(one, in_axes=(None, None, 0, 0))
+    per_query = jax.vmap(per_template, in_axes=(0, 0, None, None))
+    return per_query(queries, q_lens, bank, bank_lens)

@@ -1,0 +1,79 @@
+"""JAX VAD vs golden oracle: integer frame indices must match exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsp_tpu.config import FrontendConfig, VadConfig
+from dsp_tpu import golden
+from dsp_tpu.io.dataset import synth_word
+from dsp_tpu.ops import vad as jvad
+
+FCFG = FrontendConfig()
+VCFG = VadConfig()
+
+
+def _cases():
+    rng = np.random.default_rng(0)
+    out = []
+    # tone burst in noise
+    x = 0.001 * rng.standard_normal(32000)
+    x[8000:18000] += 0.4 * np.sin(2 * np.pi * 300 * np.arange(10000) / 16000)
+    out.append(x.astype(np.float32))
+    # speech at the very start
+    y = 0.001 * rng.standard_normal(32000)
+    y[:6000] += 0.5 * np.sin(2 * np.pi * 500 * np.arange(6000) / 16000)
+    out.append(y.astype(np.float32))
+    # speech to the very end
+    z = 0.001 * rng.standard_normal(32000)
+    z[26000:] += 0.5 * np.sin(2 * np.pi * 700 * np.arange(6000) / 16000)
+    out.append(z.astype(np.float32))
+    # pure silence
+    out.append((0.0005 * rng.standard_normal(32000)).astype(np.float32))
+    # synthetic words
+    out += [synth_word(w, i) for i, w in enumerate(["one", "seven", "zero"])]
+    return out
+
+
+@pytest.mark.parametrize("i", range(7))
+def test_vad_exact_parity(i):
+    x = _cases()[i]
+    want = golden.detect_endpoints(x, FCFG, VCFG)
+    s, e, f = jvad.detect_endpoints(jnp.asarray(x), FCFG, VCFG)
+    got = (int(s), int(e), bool(f))
+    assert got == want
+
+
+def test_vad_energy_zcr_parity():
+    x = _cases()[0]
+    frames = golden.frame_signal(x, FCFG.frame_len, FCFG.hop_len)
+    jframes = jnp.asarray(frames, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(jvad.short_time_energy(jframes)),
+        golden.short_time_energy(frames), rtol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(jvad.zero_crossing_rate(jframes)),
+        golden.zero_crossing_rate(frames))
+
+
+def test_vad_padded_signal_invariance():
+    """A zero-padded tail with the true sample length masked must give the
+    same endpoints as the unpadded signal."""
+    x = _cases()[0]
+    short = x[:24000]
+    want = golden.detect_endpoints(short, FCFG, VCFG)
+    padded = np.zeros(32000, dtype=np.float32)
+    padded[:24000] = short
+    s, e, f = jvad.detect_endpoints(
+        jnp.asarray(padded), FCFG, VCFG, length_samples=jnp.asarray(24000))
+    assert (int(s), int(e), bool(f)) == want
+
+
+def test_vad_batched_vmap():
+    cases = _cases()[:4]
+    batch = jnp.asarray(np.stack(cases))
+    s, e, f = jax.vmap(lambda x: jvad.detect_endpoints(x, FCFG, VCFG))(batch)
+    for i, x in enumerate(cases):
+        want = golden.detect_endpoints(x, FCFG, VCFG)
+        assert (int(s[i]), int(e[i]), bool(f[i])) == want
