@@ -1,0 +1,145 @@
+"""kNN-DTW isolated-word recognizer (the reference's primary model).
+
+Mirrors the reference's template-matching recognizer (SURVEY.md L3/L4:
+`enroll`, `classify`, template bank, argmin/kNN vote) with a TPU-native
+data layout: the bank is one padded device array ``[K, U_max, F]`` with a
+length vector, so classification against the whole vocabulary is a single
+jitted all-pairs DTW (and shards over a mesh via dsp_tpu.parallel).
+
+Checkpointing: the bank round-trips through a plain ``.npz`` file
+(SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from dsp_tpu import pipeline as pl
+from dsp_tpu.config import PipelineConfig
+from dsp_tpu.ops import frontend as fe
+
+
+class KnnDtwRecognizer:
+    """Template-bank recognizer: enroll utterances, classify by DTW."""
+
+    def __init__(self, cfg: PipelineConfig = PipelineConfig(), k: int = 1):
+        self.cfg = cfg
+        self.k = k
+        self.mats = fe.make_matrices(cfg.frontend)
+        self.labels: list[str] = []          # label id -> string
+        self._bank_feats: list[np.ndarray] = []   # [U_max, F] each
+        self._bank_lens: list[int] = []
+        self._bank_label_ids: list[int] = []
+        self._device_bank = None             # cached (Features, label_ids)
+
+    # ------------------------------------------------------------- enroll
+    def _pad_signals(self, signals):
+        m = self.cfg.max_samples
+        out = np.zeros((len(signals), m), dtype=np.float32)
+        lens = np.zeros(len(signals), dtype=np.int32)
+        for i, s in enumerate(signals):
+            s = np.asarray(s, dtype=np.float32)[:m]
+            out[i, : len(s)] = s
+            lens[i] = len(s)
+        return jnp.asarray(out), jnp.asarray(lens)
+
+    def extract(self, signals) -> pl.Features:
+        """Host list of signals -> device Features (one jit call)."""
+        x, n = self._pad_signals(signals)
+        return pl.extract_features(x, n, self.mats, self.cfg)
+
+    def enroll(self, label: str, signals) -> None:
+        """Add template utterances for ``label`` to the bank."""
+        if label not in self.labels:
+            self.labels.append(label)
+        label_id = self.labels.index(label)
+        feats = self.extract(signals)
+        f = np.asarray(feats.feats)
+        l = np.asarray(feats.length)
+        for i in range(f.shape[0]):
+            self._bank_feats.append(f[i])
+            self._bank_lens.append(int(l[i]))
+            self._bank_label_ids.append(label_id)
+        self._device_bank = None
+
+    @property
+    def n_templates(self) -> int:
+        return len(self._bank_feats)
+
+    def device_bank(self):
+        if self._device_bank is None:
+            if not self._bank_feats:
+                raise ValueError("empty template bank — enroll first")
+            bank = pl.Features(
+                jnp.asarray(np.stack(self._bank_feats)),
+                jnp.asarray(np.asarray(self._bank_lens, dtype=np.int32)),
+            )
+            ids = jnp.asarray(np.asarray(self._bank_label_ids, dtype=np.int32))
+            self._device_bank = (bank, ids)
+        return self._device_bank
+
+    # ------------------------------------------------------------ classify
+    def classify_batch(self, signals, return_distances: bool = False):
+        """List of signals -> list of labels (single device program)."""
+        x, n = self._pad_signals(signals)
+        bank, ids = self.device_bank()
+        label_ids, dists = pl.recognize_batch(
+            x, n, self.mats, bank, ids, self.cfg) if self.k <= 1 else (
+            self._classify_knn(x, n, bank, ids))
+        labels = [self.labels[int(i)] for i in np.asarray(label_ids)]
+        if return_distances:
+            return labels, np.asarray(dists)
+        return labels
+
+    def _classify_knn(self, x, n, bank, ids):
+        feats = pl.extract_features(x, n, self.mats, self.cfg)
+        return pl.classify_features(feats, bank, ids, n_labels=len(self.labels),
+                                    k=self.k, cfg=self.cfg)
+
+    def recognize(self, signal) -> str:
+        """Single utterance -> label (the reference's main entry point)."""
+        return self.classify_batch([signal])[0]
+
+    def evaluate(self, corpus: dict) -> dict:
+        """{label: [signals]} -> accuracy + per-label confusion counts."""
+        sigs, want = [], []
+        for lab, xs in corpus.items():
+            sigs.extend(xs)
+            want.extend([lab] * len(xs))
+        got = self.classify_batch(sigs)
+        correct = sum(g == w for g, w in zip(got, want))
+        confusion: dict = {}
+        for g, w in zip(got, want):
+            confusion.setdefault(w, {}).setdefault(g, 0)
+            confusion[w][g] += 1
+        return {
+            "accuracy": correct / max(len(want), 1),
+            "n": len(want),
+            "confusion": confusion,
+        }
+
+    # ---------------------------------------------------------- checkpoint
+    def save(self, path: str) -> None:
+        bank = np.stack(self._bank_feats) if self._bank_feats else \
+            np.zeros((0, self.cfg.max_frames, self.cfg.frontend.n_feats), np.float32)
+        np.savez(
+            path,
+            bank=bank,
+            lens=np.asarray(self._bank_lens, dtype=np.int32),
+            label_ids=np.asarray(self._bank_label_ids, dtype=np.int32),
+            labels=json.dumps(self.labels),
+            k=self.k,
+        )
+
+    @classmethod
+    def load(cls, path: str, cfg: PipelineConfig = PipelineConfig()):
+        data = np.load(path, allow_pickle=False)
+        rec = cls(cfg, k=int(data["k"]))
+        rec.labels = json.loads(str(data["labels"]))
+        rec._bank_feats = [f for f in data["bank"]]
+        rec._bank_lens = [int(v) for v in data["lens"]]
+        rec._bank_label_ids = [int(v) for v in data["label_ids"]]
+        return rec

@@ -1,0 +1,103 @@
+"""Device pipeline: one jitted function from padded signals to labels.
+
+The reference runs VAD -> MFCC -> DTW -> argmin as separate Python stages
+(SURVEY.md §3.1).  Here the *entire* pipeline is a single XLA program:
+the only host->device crossing is the jit call on the padded signal
+batch, and everything downstream (VAD cummax scans, MXU front-end
+matmuls, min-plus DTW) fuses inside it.
+
+Static-shape discipline: signals are padded to ``cfg.max_samples``; all
+variable lengths travel as integer scalars next to the data (ragged =
+pad + mask, SURVEY.md "hard parts").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dsp_tpu.config import PipelineConfig
+from dsp_tpu.ops import dtw as jdtw
+from dsp_tpu.ops import frontend as fe
+from dsp_tpu.ops import vad as jvad
+
+
+class Features(NamedTuple):
+    feats: jax.Array    # [..., T_max, n_feats]
+    length: jax.Array   # [...] valid frame count
+
+
+def _extract_one(x: jax.Array, n_samples: jax.Array, mats: fe.FrontendMatrices,
+                 cfg: PipelineConfig, precision) -> Features:
+    """Single padded signal [max_samples] -> trimmed, masked features."""
+    f = cfg.frontend
+    t_max = cfg.max_frames
+
+    c = fe.mfcc(x, f, mats, use_fft=False, precision=precision)  # [T, C]
+    n_frames = jnp.maximum(0, 1 + (n_samples - f.frame_len) // f.hop_len)
+
+    if cfg.use_vad:
+        start, end, _ = jvad.detect_endpoints(x, f, cfg.vad, n_samples)
+    else:
+        start, end = jnp.asarray(0), n_frames
+
+    length = jnp.maximum(end - start, 1)
+    idx = jnp.clip(start + jnp.arange(t_max), 0, t_max - 1)
+    c = jnp.take(c, idx, axis=0)                              # frames from VAD start
+    feats = fe.add_deltas(c, f, length)
+    feats = jnp.where((jnp.arange(t_max) < length)[:, None], feats, 0.0)
+    return Features(feats, length)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def extract_features(signals: jax.Array, n_samples: jax.Array,
+                     mats: fe.FrontendMatrices,
+                     cfg: PipelineConfig = PipelineConfig(),
+                     precision=jax.lax.Precision.HIGHEST) -> Features:
+    """Padded signal batch [B, max_samples] + true lengths [B] -> Features."""
+    one = functools.partial(_extract_one, mats=mats, cfg=cfg, precision=precision)
+    return jax.vmap(one)(signals, n_samples)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision", "k", "n_labels"))
+def classify_features(feats: Features, bank: Features, bank_label_ids: jax.Array,
+                      n_labels: int | None = None,
+                      k: int = 1,
+                      cfg: PipelineConfig = PipelineConfig(),
+                      precision=jax.lax.Precision.HIGHEST):
+    """Features [B] x template bank [K] -> (label_ids [B], distances [B,K]).
+
+    k=1 is plain nearest-template; k>1 does kNN majority vote with
+    distance-sum tie-breaking, all on device.
+    """
+    dists = jdtw.dtw_batch(feats.feats, feats.length,
+                           bank.feats, bank.length, cfg.dtw, precision)
+    if k <= 1:
+        best = jnp.argmin(dists, axis=-1)
+        return jnp.take(bank_label_ids, best), dists
+    if n_labels is None:
+        raise ValueError("n_labels required for k > 1")
+    # kNN vote: one-hot scatter of the k smallest distances per query
+    _, top_idx = jax.lax.top_k(-dists, k)                     # [B, k]
+    top_labels = jnp.take(bank_label_ids, top_idx)            # [B, k]
+    votes = jax.nn.one_hot(top_labels, n_labels).sum(axis=1)  # [B, L]
+    top_d = jnp.take_along_axis(dists, top_idx, axis=1)       # [B, k]
+    dist_sum = (jax.nn.one_hot(top_labels, n_labels) * top_d[..., None]).sum(axis=1)
+    # order by (votes desc, dist_sum asc): score = votes - eps*dist_sum
+    score = votes - 1e-6 * dist_sum
+    return jnp.argmax(score, axis=-1), dists
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def recognize_batch(signals: jax.Array, n_samples: jax.Array,
+                    mats: fe.FrontendMatrices,
+                    bank: Features, bank_label_ids: jax.Array,
+                    cfg: PipelineConfig = PipelineConfig(),
+                    precision=jax.lax.Precision.HIGHEST):
+    """End-to-end on device: padded signals -> (label_ids, distances)."""
+    feats = extract_features(signals, n_samples, mats, cfg, precision)
+    return classify_features(feats, bank, bank_label_ids, cfg=cfg,
+                             precision=precision)
