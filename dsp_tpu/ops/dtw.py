@@ -75,7 +75,9 @@ def dtw_from_cost(cost: jax.Array, len_a: jax.Array, len_b: jax.Array) -> jax.Ar
         acc = jnp.where(i == len_a - 1, hit, acc)
         return (d_row, acc), None
 
-    init = (jnp.full((u,), BIG, cost.dtype), jnp.asarray(0.0, cost.dtype))
+    # derive the init carry from `cost` so its sharding/varying-axis type
+    # matches the scan output under shard_map (vma typing)
+    init = (jnp.full_like(cost[0], BIG), jnp.zeros_like(cost[0, 0]))
     (_, dist), _ = jax.lax.scan(row_step, init, (cost, jnp.arange(t)))
     return dist / (len_a + len_b).astype(cost.dtype)
 

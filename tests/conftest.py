@@ -17,3 +17,9 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment's sitecustomize pins jax to the TPU plugin before this
+# file runs; the env var alone is not enough — override via jax.config.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,105 @@
+"""Multi-device tests on the fake 8-device CPU mesh (SURVEY.md §4.4).
+
+Bank-sharded classification must match single-device classification
+bit-for-bit on the argmin label and allclose on distances.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsp_tpu.config import PipelineConfig
+from dsp_tpu.ops import dtw as jdtw, frontend as fe
+from dsp_tpu import parallel as par
+from dsp_tpu import pipeline as pl
+from dsp_tpu.io.dataset import synth_word
+
+CFG = PipelineConfig()
+
+
+def _random_problem(rng, b=8, k=8, t=30, u=26, f=13):
+    q = rng.standard_normal((b, t, f)).astype(np.float32)
+    bank = rng.standard_normal((k, u, f)).astype(np.float32)
+    ql = rng.integers(5, t + 1, size=b).astype(np.int32)
+    bl = rng.integers(5, u + 1, size=k).astype(np.int32)
+    ids = (rng.integers(0, 3, size=k)).astype(np.int32)
+    return q, ql, bank, bl, ids
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_classify_matches_single_device(shape):
+    rng = np.random.default_rng(0)
+    q, ql, bank, bl, ids = _random_problem(rng)
+    # single device truth
+    d = np.asarray(jdtw.dtw_batch(jnp.asarray(q), jnp.asarray(ql),
+                                  jnp.asarray(bank), jnp.asarray(bl)))
+    want_idx = d.argmin(axis=1)
+    want_label = ids[want_idx]
+    want_dist = d.min(axis=1)
+
+    mesh = par.make_mesh(*shape)
+    qd, qld = par.shard_queries(mesh, q, ql)
+    bd, bld = par.shard_bank(mesh, bank, bl)
+    idsd = par.replicate(mesh, ids)
+    got_label, got_dist = par.classify_sharded(mesh, qd, qld, bd, bld, idsd)
+    np.testing.assert_array_equal(np.asarray(got_label), want_label)
+    np.testing.assert_allclose(np.asarray(got_dist), want_dist, rtol=1e-6)
+
+
+def test_sharded_with_padded_bank():
+    """K not divisible by bank axis -> pad with invalid templates."""
+    rng = np.random.default_rng(1)
+    q, ql, bank, bl, ids = _random_problem(rng, k=5)
+    d = np.asarray(jdtw.dtw_batch(jnp.asarray(q), jnp.asarray(ql),
+                                  jnp.asarray(bank), jnp.asarray(bl)))
+    want_label = ids[d.argmin(axis=1)]
+
+    mesh = par.make_mesh(2, 4)
+    bank_p, korig = par.pad_axis_to_multiple(bank, 4)
+    bl_p, _ = par.pad_axis_to_multiple(bl, 4)
+    ids_p, _ = par.pad_axis_to_multiple(ids, 4)
+    bl_p = np.maximum(bl_p, 1)
+    valid = np.arange(bank_p.shape[0]) < korig
+
+    qd, qld = par.shard_queries(mesh, q, ql)
+    bd, bld = par.shard_bank(mesh, bank_p, bl_p)
+    idsd, validd = par.replicate(mesh, ids_p, valid)
+    # bank_valid travels sharded with the bank
+    validd = par.shard_bank(mesh, valid)
+    got_label, _ = par.classify_sharded(mesh, qd, qld, bd, bld, idsd, validd)
+    np.testing.assert_array_equal(np.asarray(got_label), want_label)
+
+
+def test_recognize_sharded_end_to_end():
+    """Full pipeline over the mesh equals the single-device pipeline."""
+    labels = ["zero", "one", "two", "three"]
+    mats = fe.make_matrices(CFG.frontend)
+    bank_sigs = np.stack([synth_word(lab, i, max_samples=CFG.max_samples)
+                          for lab in labels for i in range(2)])
+    bank_ns = np.full(8, CFG.max_samples, dtype=np.int32)
+    ids = np.repeat(np.arange(4, dtype=np.int32), 2)
+    bank = pl.extract_features(jnp.asarray(bank_sigs), jnp.asarray(bank_ns), mats, CFG)
+
+    test_sigs = np.stack([synth_word(lab, 50 + i, max_samples=CFG.max_samples)
+                          for i, lab in enumerate(labels * 2)])
+    test_ns = np.full(8, CFG.max_samples, dtype=np.int32)
+
+    want_ids, _ = pl.recognize_batch(
+        jnp.asarray(test_sigs), jnp.asarray(test_ns), mats,
+        bank, jnp.asarray(ids), CFG)
+
+    mesh = par.make_mesh(2, 4)
+    sig_d, ns_d = par.shard_queries(mesh, test_sigs, test_ns)
+    bf_d = par.shard_bank(mesh, np.asarray(bank.feats))
+    blen_d = par.shard_bank(mesh, np.asarray(bank.length))
+    ids_d = par.replicate(mesh, ids)
+    got_ids, _ = par.recognize_sharded(
+        mesh, sig_d, ns_d, mats, bf_d, blen_d, ids_d, cfg=CFG)
+    np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(want_ids))
+    # and the predictions are actually right
+    np.testing.assert_array_equal(np.asarray(got_ids), np.array([0, 1, 2, 3] * 2))
