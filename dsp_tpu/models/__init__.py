@@ -1,5 +1,6 @@
 """Recognizer model families: kNN-DTW (primary) and GMM-HMM (statistical)."""
 
 from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer, HmmParams, fit_word, score_words
 
-__all__ = ["KnnDtwRecognizer"]
+__all__ = ["KnnDtwRecognizer", "GmmHmmRecognizer", "HmmParams", "fit_word", "score_words"]

@@ -1,0 +1,283 @@
+"""GMM-HMM isolated-word recognizer (the reference's statistical path).
+
+Capability parity with the reference's optional GMM-HMM + Viterbi decode
+(SURVEY.md L3', BASELINE.json config 3), designed TPU-first:
+
+* **Emission scoring is a GEMM.**  The diagonal-Gaussian log-likelihood
+  expands as ``-0.5 (x^2 . v^-1  -  2 x . (mu v^-1)  +  c)`` so scoring a
+  feature batch against *every* (word, state, mixture) at once is one
+  ``[B*T, F] @ [F, W*S*M]`` matmul on the MXU — no [., ., F] broadcast
+  tensor is ever materialised.
+
+* **Decode is one batched scan.**  Log-space Viterbi over [B, W, S]
+  log-deltas (dsp_tpu/ops/viterbi.py): a single `lax.scan` scores a
+  whole utterance batch against the whole vocabulary.
+
+* **Training is segmental (Viterbi) EM**: uniform-segmentation init,
+  then iterate {GMM M-step from state-aligned frames, Viterbi re-align}.
+  Each iteration is a jitted program; the outer loop is a fixed host
+  loop over `cfg.n_iter`.
+
+Left-to-right topology: start in state 0, transitions {stay, advance}.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsp_tpu import pipeline as pl
+from dsp_tpu.config import HmmConfig, PipelineConfig
+from dsp_tpu.ops import frontend as fe
+from dsp_tpu.ops.viterbi import viterbi_decode, viterbi_score
+
+NEG_INF = -1e30
+LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+class HmmParams(NamedTuple):
+    """Left-to-right GMM-HMM parameters; leading dims may batch words."""
+
+    log_pi: jax.Array    # [..., S]
+    log_a: jax.Array     # [..., S, S]
+    means: jax.Array     # [..., S, M, F]
+    log_var: jax.Array   # [..., S, M, F]
+    log_mix: jax.Array   # [..., S, M]
+
+
+# --------------------------------------------------------------- emissions
+def gmm_loglik_flat(x: jax.Array, means: jax.Array, log_var: jax.Array) -> jax.Array:
+    """Diagonal-Gaussian log-lik via GEMM: x [..., F], params [K, F] -> [..., K]."""
+    f = x.shape[-1]
+    inv_var = jnp.exp(-log_var)                                   # [K, F]
+    a = jnp.matmul(x * x, inv_var.T)                              # [..., K]
+    b = jnp.matmul(x, (means * inv_var).T)                        # [..., K]
+    c = jnp.sum(means * means * inv_var + log_var, axis=-1)       # [K]
+    return -0.5 * (a - 2.0 * b + c + f * LOG_2PI)
+
+
+def emission_logb(x: jax.Array, params: HmmParams) -> jax.Array:
+    """x [..., F] + params [*lead, S, M, F] -> logB [..., *lead, S]."""
+    lead = params.means.shape[:-1]                                # (*, S, M)
+    f = params.means.shape[-1]
+    flat_means = params.means.reshape(-1, f)
+    flat_lv = params.log_var.reshape(-1, f)
+    ll = gmm_loglik_flat(x, flat_means, flat_lv)                  # [..., K]
+    ll = ll.reshape(*x.shape[:-1], *lead)                         # [..., *, S, M]
+    return jax.nn.logsumexp(ll + params.log_mix, axis=-1)         # [..., *, S]
+
+
+# ------------------------------------------------------------------ decode
+@functools.partial(jax.jit, static_argnames=())
+def score_words(feats: jax.Array, lengths: jax.Array, params: HmmParams) -> jax.Array:
+    """feats [B, T, F] x stacked word params [W, ...] -> loglik [B, W]."""
+    logb = emission_logb(feats, params)                 # [B, T, W, S]
+    logb = jnp.moveaxis(logb, 1, 0)                     # [T, B, W, S]
+    return viterbi_score(params.log_pi[None], params.log_a[None],
+                         logb, lengths[:, None])
+
+
+# ---------------------------------------------------------------- training
+def _uniform_alignment(t_max: int, length: jax.Array, n_states: int) -> jax.Array:
+    """Initial state of frame t: floor(t * S / length), clipped; [T] int32."""
+    t_idx = jnp.arange(t_max)
+    st = (t_idx * n_states) // jnp.maximum(length, 1)
+    return jnp.clip(st, 0, n_states - 1)
+
+
+def _lr_log_a(stay_prob: jax.Array, n_states: int) -> jax.Array:
+    """Left-to-right transition matrix from per-state stay probabilities."""
+    s = n_states
+    stay = jnp.clip(stay_prob, 1e-4, 1.0 - 1e-4)
+    log_a = jnp.full((s, s), NEG_INF)
+    di = jnp.arange(s)
+    log_a = log_a.at[di, di].set(jnp.log(stay))
+    log_a = log_a.at[di[:-1], di[:-1] + 1].set(jnp.log1p(-stay[:-1]))
+    # final state absorbs
+    log_a = log_a.at[s - 1, s - 1].set(0.0)
+    return log_a
+
+
+def init_params(feats: jax.Array, lengths: jax.Array, cfg: HmmConfig,
+                key: jax.Array) -> HmmParams:
+    """Uniform-segmentation init for one word: feats [N, T, F]."""
+    s, m = cfg.n_states, cfg.n_mix
+    n, t, f = feats.shape
+    valid = jnp.arange(t)[None, :] < lengths[:, None]             # [N, T]
+    align = jax.vmap(lambda L: _uniform_alignment(t, L, s))(lengths)
+    gamma = jax.nn.one_hot(align, s) * valid[..., None]           # [N, T, S]
+
+    w = gamma.reshape(-1, s).T                                    # [S, NT]
+    x = feats.reshape(-1, f)
+    tot = jnp.maximum(w.sum(-1, keepdims=True), 1e-6)             # [S, 1]
+    mean_s = (w @ x) / tot                                        # [S, F]
+    var_s = (w @ (x * x)) / tot - mean_s**2                       # [S, F]
+    var_s = jnp.maximum(var_s, cfg.var_floor)
+
+    # spread M components around the state mean along the state stddev
+    offs = jnp.linspace(-1.0, 1.0, m)[None, :, None]              # [1, M, 1]
+    jitter = 0.05 * jax.random.normal(key, (s, m, f))
+    means = mean_s[:, None, :] + (offs + jitter) * jnp.sqrt(var_s)[:, None, :]
+    log_var = jnp.log(var_s)[:, None, :].repeat(m, axis=1)
+    log_mix = jnp.full((s, m), -np.log(m))
+    log_pi = jnp.full((s,), NEG_INF).at[0].set(0.0)
+    log_a = _lr_log_a(jnp.full((s,), 0.6), s)
+    return HmmParams(log_pi, log_a, means, log_var, log_mix)
+
+
+def _m_step(feats: jax.Array, valid: jax.Array, gamma: jax.Array,
+            params: HmmParams, cfg: HmmConfig) -> HmmParams:
+    """GMM M-step with hard state weights + soft mixture responsibilities."""
+    s, m = cfg.n_states, cfg.n_mix
+    n, t, f = feats.shape
+    x = feats.reshape(-1, f)                                      # [NT, F]
+    ll = gmm_loglik_flat(x, params.means.reshape(-1, f),
+                         params.log_var.reshape(-1, f))
+    ll = ll.reshape(n * t, s, m) + params.log_mix                 # [NT, S, M]
+    resp = jax.nn.softmax(ll, axis=-1)                            # within-state
+    w = (gamma * valid[..., None]).reshape(n * t, s)              # [NT, S]
+    r = resp * w[..., None]                                       # [NT, S, M]
+
+    tot = r.sum(0)                                                # [S, M]
+    tot_safe = jnp.maximum(tot, 1e-6)[..., None]
+    mean_new = jnp.einsum("nsm,nf->smf", r, x) / tot_safe
+    ex2 = jnp.einsum("nsm,nf->smf", r, x * x) / tot_safe
+    var_new = jnp.maximum(ex2 - mean_new**2, cfg.var_floor)
+    mix_new = tot / jnp.maximum(tot.sum(-1, keepdims=True), 1e-6)
+    mix_new = jnp.maximum(mix_new, 1e-6)
+    mix_new = mix_new / mix_new.sum(-1, keepdims=True)
+
+    # keep old params for starved components
+    alive = (tot > 1e-4)[..., None]
+    means = jnp.where(alive, mean_new, params.means)
+    log_var = jnp.where(alive, jnp.log(var_new), params.log_var)
+    return params._replace(means=means, log_var=log_var,
+                           log_mix=jnp.log(mix_new))
+
+
+def _estimate_transitions(gamma_states: jax.Array, valid: jax.Array,
+                          cfg: HmmConfig) -> jax.Array:
+    """Stay probabilities from hard alignments: states [N, T] int."""
+    s = cfg.n_states
+    cur = gamma_states[:, :-1]
+    nxt = gamma_states[:, 1:]
+    pair_valid = (valid[:, :-1] & valid[:, 1:]).astype(jnp.float32)
+    stay = ((cur == nxt) & True).astype(jnp.float32) * pair_valid
+    onehot = jax.nn.one_hot(cur, s) * pair_valid[..., None]
+    stay_cnt = (onehot * stay[..., None]).sum((0, 1))
+    tot_cnt = onehot.sum((0, 1))
+    return _lr_log_a(jnp.where(tot_cnt > 0, stay_cnt / jnp.maximum(tot_cnt, 1.0), 0.6),
+                     s)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _em_iteration(feats: jax.Array, lengths: jax.Array, params: HmmParams,
+                  cfg: HmmConfig):
+    """One segmental-EM iteration for one word's utterances [N, T, F]."""
+    n, t, f = feats.shape
+    valid = jnp.arange(t)[None, :] < lengths[:, None]
+    logb = emission_logb(feats, params)                           # [N, T, S]
+    _, paths = jax.vmap(lambda lb, L: viterbi_decode(
+        params.log_pi, params.log_a, lb, L))(logb, lengths)      # [N, T]
+    gamma = jax.nn.one_hot(paths, cfg.n_states) * valid[..., None]
+    new = _m_step(feats, valid, gamma, params, cfg)
+    log_a = _estimate_transitions(paths, valid, cfg)
+    total_ll = jnp.sum(viterbi_score(params.log_pi, params.log_a,
+                                     jnp.moveaxis(logb, 1, 0), lengths))
+    return new._replace(log_a=log_a), total_ll
+
+
+def fit_word(feats: jax.Array, lengths: jax.Array,
+             cfg: HmmConfig = HmmConfig(), seed: int | None = None) -> HmmParams:
+    """Train one word model on its utterances (host loop, jitted steps)."""
+    key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+    params = init_params(feats, lengths, cfg, key)
+    for _ in range(cfg.n_iter):
+        params, _ = _em_iteration(feats, lengths, params, cfg)
+    return params
+
+
+def stack_params(params_list) -> HmmParams:
+    return HmmParams(*(jnp.stack([getattr(p, f) for p in params_list])
+                       for f in HmmParams._fields))
+
+
+# --------------------------------------------------------------- recognizer
+class GmmHmmRecognizer:
+    """Word-per-HMM recognizer mirroring the KnnDtwRecognizer surface."""
+
+    def __init__(self, cfg: PipelineConfig = PipelineConfig(),
+                 hmm: HmmConfig = HmmConfig()):
+        self.cfg = cfg
+        self.hmm = hmm
+        self.mats = fe.make_matrices(cfg.frontend)
+        self.labels: list[str] = []
+        self.params: HmmParams | None = None   # stacked [W, ...]
+
+    def _pad_signals(self, signals):
+        msamp = self.cfg.max_samples
+        out = np.zeros((len(signals), msamp), dtype=np.float32)
+        lens = np.zeros(len(signals), dtype=np.int32)
+        for i, s in enumerate(signals):
+            s = np.asarray(s, dtype=np.float32)[:msamp]
+            out[i, : len(s)] = s
+            lens[i] = len(s)
+        return jnp.asarray(out), jnp.asarray(lens)
+
+    def extract(self, signals) -> pl.Features:
+        x, n = self._pad_signals(signals)
+        return pl.extract_features(x, n, self.mats, self.cfg)
+
+    def fit(self, corpus: dict) -> None:
+        """corpus: {label: [signals]} -> per-word segmental-EM training."""
+        self.labels = sorted(corpus.keys())
+        trained = []
+        for w, lab in enumerate(self.labels):
+            feats = self.extract(corpus[lab])
+            trained.append(fit_word(feats.feats, feats.length, self.hmm,
+                                    seed=self.hmm.seed + w))
+        self.params = stack_params(trained)
+
+    def classify_batch(self, signals, return_scores: bool = False):
+        if self.params is None:
+            raise ValueError("model not fitted")
+        feats = self.extract(signals)
+        scores = score_words(feats.feats, feats.length, self.params)  # [B, W]
+        ids = np.asarray(jnp.argmax(scores, axis=-1))
+        labels = [self.labels[int(i)] for i in ids]
+        if return_scores:
+            return labels, np.asarray(scores)
+        return labels
+
+    def recognize(self, signal) -> str:
+        return self.classify_batch([signal])[0]
+
+    def evaluate(self, corpus: dict) -> dict:
+        sigs, want = [], []
+        for lab, xs in corpus.items():
+            sigs.extend(xs)
+            want.extend([lab] * len(xs))
+        got = self.classify_batch(sigs)
+        correct = sum(g == w for g, w in zip(got, want))
+        return {"accuracy": correct / max(len(want), 1), "n": len(want)}
+
+    def save(self, path: str) -> None:
+        if self.params is None:
+            raise ValueError("model not fitted")
+        np.savez(path, labels=json.dumps(self.labels),
+                 **{f: np.asarray(getattr(self.params, f))
+                    for f in HmmParams._fields})
+
+    @classmethod
+    def load(cls, path: str, cfg: PipelineConfig = PipelineConfig(),
+             hmm: HmmConfig = HmmConfig()):
+        data = np.load(path, allow_pickle=False)
+        rec = cls(cfg, hmm)
+        rec.labels = json.loads(str(data["labels"]))
+        rec.params = HmmParams(*(jnp.asarray(data[f]) for f in HmmParams._fields))
+        return rec

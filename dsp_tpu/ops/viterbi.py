@@ -47,21 +47,31 @@ def viterbi_score(log_pi: jax.Array, log_a: jax.Array, log_b: jax.Array,
     return jnp.max(delta, axis=-1)
 
 
-def viterbi_decode(log_pi: jax.Array, log_a: jax.Array, log_b: jax.Array):
+def viterbi_decode(log_pi: jax.Array, log_a: jax.Array, log_b: jax.Array,
+                   length: jax.Array | None = None):
     """Best path + score for a single sequence (log_b [T, S]).
 
-    Backtrace via scanned argmax pointers; used for diagnostics and state-
-    level alignment (template trimming), not the hot decode path.
+    Backtrace via scanned argmax pointers; used for state-level alignment
+    in GMM-HMM training, not the hot decode path.  Frames at t >= length
+    carry delta through unchanged with identity backpointers, so the
+    returned path is valid on [0, length) and constant after.
     """
     t, s = log_b.shape
+    if length is None:
+        length = jnp.asarray(t)
+    identity = jnp.arange(s)
 
-    def fwd(delta, emit):
+    def fwd(delta, inp):
+        emit, ti = inp
         scores = delta[:, None] + log_a
         psi = jnp.argmax(scores, axis=0)
         new = jnp.take_along_axis(scores, psi[None, :], axis=0)[0] + emit
-        return new, psi
+        keep = ti < length
+        return (jnp.where(keep, new, delta),
+                jnp.where(keep, psi, identity))
 
-    delta, psis = jax.lax.scan(fwd, log_pi + log_b[0], log_b[1:])
+    delta, psis = jax.lax.scan(fwd, log_pi + log_b[0],
+                               (log_b[1:], jnp.arange(1, t)))
     last = jnp.argmax(delta)
 
     def back(state, psi):

@@ -1,0 +1,101 @@
+"""GMM-HMM model tests: emission GEMM parity, training convergence,
+recognition accuracy, checkpoint round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsp_tpu.config import HmmConfig, PipelineConfig
+from dsp_tpu.models import gmm_hmm as gh
+from dsp_tpu.io.dataset import make_corpus
+
+HCFG = HmmConfig(n_states=4, n_mix=2, n_iter=5)
+
+
+def test_gmm_loglik_matches_naive():
+    """GEMM-expanded Gaussian log-lik == direct formula."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((7, 5)).astype(np.float32)
+    means = rng.standard_normal((6, 5)).astype(np.float32)
+    log_var = (0.2 * rng.standard_normal((6, 5))).astype(np.float32)
+    got = np.asarray(gh.gmm_loglik_flat(jnp.asarray(x), jnp.asarray(means),
+                                        jnp.asarray(log_var)))
+    var = np.exp(log_var)
+    want = np.stack([
+        -0.5 * (((x - means[k]) ** 2 / var[k]).sum(-1)
+                + log_var[k].sum() + 5 * np.log(2 * np.pi))
+        for k in range(6)
+    ], axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_emission_logb_normalises():
+    """logB with a single mixture equals the Gaussian; mixture weights sum to 1."""
+    rng = np.random.default_rng(1)
+    s, m, f = 3, 1, 4
+    params = gh.HmmParams(
+        log_pi=jnp.zeros(s),
+        log_a=jnp.zeros((s, s)),
+        means=jnp.asarray(rng.standard_normal((s, m, f)), dtype=jnp.float32),
+        log_var=jnp.zeros((s, m, f)),
+        log_mix=jnp.zeros((s, m)),
+    )
+    x = jnp.asarray(rng.standard_normal((2, f)), dtype=jnp.float32)
+    got = np.asarray(gh.emission_logb(x, params))
+    assert got.shape == (2, s)
+
+
+def test_segmental_em_increases_likelihood():
+    rng = np.random.default_rng(2)
+    # two-phase synthetic sequences: distributions shift halfway
+    n, t, f = 6, 40, 8
+    feats = np.zeros((n, t, f), dtype=np.float32)
+    feats[:, :20] = rng.standard_normal((n, 20, f)) + 2.0
+    feats[:, 20:] = rng.standard_normal((n, 20, f)) - 2.0
+    lengths = np.full(n, t, dtype=np.int32)
+
+    key = jax.random.PRNGKey(0)
+    params = gh.init_params(jnp.asarray(feats), jnp.asarray(lengths), HCFG, key)
+    lls = []
+    for _ in range(6):
+        params, ll = gh._em_iteration(jnp.asarray(feats), jnp.asarray(lengths),
+                                      params, HCFG)
+        lls.append(float(ll))
+    assert lls[-1] > lls[0]          # training improves alignment likelihood
+    assert np.isfinite(lls).all()
+
+
+def test_hmm_recognizer_end_to_end(tmp_path):
+    labels = ["zero", "one", "two"]
+    train = make_corpus(labels, n_per_word=6, seed=0)
+    test = {lab: [v for v in make_corpus([lab], 3, seed=9)[lab]] for lab in labels}
+
+    rec = gh.GmmHmmRecognizer(PipelineConfig(), HCFG)
+    rec.fit(train)
+    result = rec.evaluate(test)
+    assert result["n"] == 9
+    assert result["accuracy"] >= 8 / 9          # allow one miss
+
+    path = str(tmp_path / "hmm.npz")
+    rec.save(path)
+    loaded = gh.GmmHmmRecognizer.load(path, PipelineConfig(), HCFG)
+    x = test["one"][0]
+    assert loaded.recognize(x) == rec.recognize(x)
+
+
+def test_score_words_batch_shape():
+    rng = np.random.default_rng(3)
+    w, s, m, f = 4, 3, 2, 6
+    params = gh.HmmParams(
+        log_pi=jnp.tile(jnp.asarray([0.0] + [gh.NEG_INF] * (s - 1)), (w, 1)),
+        log_a=jnp.tile(gh._lr_log_a(jnp.full((s,), 0.6), s)[None], (w, 1, 1)),
+        means=jnp.asarray(rng.standard_normal((w, s, m, f)), dtype=jnp.float32),
+        log_var=jnp.zeros((w, s, m, f)),
+        log_mix=jnp.full((w, s, m), -np.log(m)),
+    )
+    feats = jnp.asarray(rng.standard_normal((5, 20, f)), dtype=jnp.float32)
+    lengths = jnp.asarray(rng.integers(5, 21, size=5).astype(np.int32))
+    scores = gh.score_words(feats, lengths, params)
+    assert scores.shape == (5, w)
+    assert np.isfinite(np.asarray(scores)).all()
