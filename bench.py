@@ -1,0 +1,100 @@
+"""Headline benchmark: batched isolated-word recognition throughput.
+
+BASELINE.json config 1: utterance batch x 100-template bank, full
+pipeline (VAD -> MFCC+delta/delta-delta -> all-pairs DTW -> argmin) on
+one chip.  Metric: utterance x template DTW alignments per second per
+chip, including the fused front-end (the north-star target is >= 10,000;
+the reference publishes no numbers — BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 10_000 (the BASELINE.json north-star floor).
+
+Env knobs: BENCH_UTTS (default 1024), BENCH_TEMPLATES (100),
+BENCH_CHUNK (128), BENCH_PRECISION (default|highest).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+NORTH_STAR = 10_000.0
+
+
+def main():
+    from dsp_tpu import pipeline as pl
+    from dsp_tpu.config import PipelineConfig
+    from dsp_tpu.io.dataset import DIGITS, synth_word
+    from dsp_tpu.ops import frontend as fe
+
+    n_utts = int(os.environ.get("BENCH_UTTS", 1024))
+    n_templates = int(os.environ.get("BENCH_TEMPLATES", 100))
+    chunk = int(os.environ.get("BENCH_CHUNK", 128))
+    precision = (jax.lax.Precision.HIGHEST
+                 if os.environ.get("BENCH_PRECISION", "default") == "highest"
+                 else jax.lax.Precision.DEFAULT)
+
+    cfg = PipelineConfig()
+    mats = fe.make_matrices(cfg.frontend)
+
+    # template bank: 10 words x (n_templates/10) takes each
+    per_word = max(1, n_templates // len(DIGITS))
+    bank_sigs = np.stack([
+        synth_word(lab, i, max_samples=cfg.max_samples)
+        for lab in DIGITS for i in range(per_word)
+    ])[:n_templates]
+    ids = np.repeat(np.arange(len(DIGITS), dtype=np.int32), per_word)[:n_templates]
+    bank_ns = np.full(bank_sigs.shape[0], cfg.max_samples, dtype=np.int32)
+    bank = pl.extract_features(jnp.asarray(bank_sigs), jnp.asarray(bank_ns),
+                               mats, cfg)
+    bank = jax.block_until_ready(bank)
+
+    # query utterances: distinct signals per chunk (blocking per chunk —
+    # identical queued executions can be deduped by the runtime)
+    rng = np.random.default_rng(0)
+    n_chunks = max(1, n_utts // chunk)
+    chunks = []
+    for c in range(n_chunks):
+        q_sigs = np.stack([
+            synth_word(DIGITS[rng.integers(10)], 1000 + c * chunk + i,
+                       max_samples=cfg.max_samples)
+            for i in range(chunk)
+        ])
+        chunks.append(jnp.asarray(q_sigs))
+    qn = jnp.full(chunk, cfg.max_samples, dtype=jnp.int32)
+    ids_d = jnp.asarray(ids)
+
+    def step(signals, n_samples):
+        labels, _ = pl.recognize_batch(signals, n_samples, mats, bank, ids_d,
+                                       cfg, precision)
+        return labels
+
+    # warmup / compile.  NB: on the tunneled TPU backend block_until_ready
+    # does not reliably wait; a host fetch of the (tiny) label vector is
+    # the only sound completion barrier, so timing is fetch-to-fetch.
+    np.asarray(step(chunks[0], qn))
+
+    t0 = time.perf_counter()
+    for c in range(n_chunks):
+        np.asarray(step(chunks[c], qn))
+    dt = time.perf_counter() - t0
+
+    alignments = n_chunks * chunk * bank.feats.shape[0]
+    rate = alignments / dt
+    print(json.dumps({
+        "metric": "mfcc_dtw_alignments_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "alignments/s/chip",
+        "vs_baseline": round(rate / NORTH_STAR, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -130,9 +130,24 @@ def init_params(feats: jax.Array, lengths: jax.Array, cfg: HmmConfig,
     return HmmParams(log_pi, log_a, means, log_var, log_mix)
 
 
-def _m_step(feats: jax.Array, valid: jax.Array, gamma: jax.Array,
-            params: HmmParams, cfg: HmmConfig) -> HmmParams:
-    """GMM M-step with hard state weights + soft mixture responsibilities."""
+class SuffStats(NamedTuple):
+    """Additive sufficient statistics of one segmental-EM iteration.
+
+    Additivity over the utterance axis is what makes the distributed EM
+    step a plain `psum` over the 'data' mesh axis (dsp_tpu/parallel/em.py).
+    """
+
+    tot: jax.Array        # [S, M]    sum of responsibilities
+    sx: jax.Array         # [S, M, F] weighted sum of x
+    sxx: jax.Array        # [S, M, F] weighted sum of x^2
+    stay_cnt: jax.Array   # [S]       self-transition counts
+    trans_cnt: jax.Array  # [S]       total transition counts
+    loglik: jax.Array     # []        summed Viterbi log-likelihood
+
+
+def _gmm_stats(feats: jax.Array, valid: jax.Array, gamma: jax.Array,
+               params: HmmParams, cfg: HmmConfig):
+    """Responsibility-weighted GMM moments: feats [N,T,F], gamma [N,T,S]."""
     s, m = cfg.n_states, cfg.n_mix
     n, t, f = feats.shape
     x = feats.reshape(-1, f)                                      # [NT, F]
@@ -142,12 +157,19 @@ def _m_step(feats: jax.Array, valid: jax.Array, gamma: jax.Array,
     resp = jax.nn.softmax(ll, axis=-1)                            # within-state
     w = (gamma * valid[..., None]).reshape(n * t, s)              # [NT, S]
     r = resp * w[..., None]                                       # [NT, S, M]
-
     tot = r.sum(0)                                                # [S, M]
+    sx = jnp.einsum("nsm,nf->smf", r, x)
+    sxx = jnp.einsum("nsm,nf->smf", r, x * x)
+    return tot, sx, sxx
+
+
+def _params_from_stats(stats: SuffStats, params: HmmParams,
+                       cfg: HmmConfig) -> HmmParams:
+    """Closed-form M-step from (possibly psum-reduced) sufficient stats."""
+    tot, sx, sxx = stats.tot, stats.sx, stats.sxx
     tot_safe = jnp.maximum(tot, 1e-6)[..., None]
-    mean_new = jnp.einsum("nsm,nf->smf", r, x) / tot_safe
-    ex2 = jnp.einsum("nsm,nf->smf", r, x * x) / tot_safe
-    var_new = jnp.maximum(ex2 - mean_new**2, cfg.var_floor)
+    mean_new = sx / tot_safe
+    var_new = jnp.maximum(sxx / tot_safe - mean_new**2, cfg.var_floor)
     mix_new = tot / jnp.maximum(tot.sum(-1, keepdims=True), 1e-6)
     mix_new = jnp.maximum(mix_new, 1e-6)
     mix_new = mix_new / mix_new.sum(-1, keepdims=True)
@@ -156,40 +178,41 @@ def _m_step(feats: jax.Array, valid: jax.Array, gamma: jax.Array,
     alive = (tot > 1e-4)[..., None]
     means = jnp.where(alive, mean_new, params.means)
     log_var = jnp.where(alive, jnp.log(var_new), params.log_var)
+    stay = jnp.where(stats.trans_cnt > 0,
+                     stats.stay_cnt / jnp.maximum(stats.trans_cnt, 1.0), 0.6)
     return params._replace(means=means, log_var=log_var,
-                           log_mix=jnp.log(mix_new))
+                           log_mix=jnp.log(mix_new),
+                           log_a=_lr_log_a(stay, cfg.n_states))
 
 
-def _estimate_transitions(gamma_states: jax.Array, valid: jax.Array,
-                          cfg: HmmConfig) -> jax.Array:
-    """Stay probabilities from hard alignments: states [N, T] int."""
-    s = cfg.n_states
-    cur = gamma_states[:, :-1]
-    nxt = gamma_states[:, 1:]
-    pair_valid = (valid[:, :-1] & valid[:, 1:]).astype(jnp.float32)
-    stay = ((cur == nxt) & True).astype(jnp.float32) * pair_valid
-    onehot = jax.nn.one_hot(cur, s) * pair_valid[..., None]
-    stay_cnt = (onehot * stay[..., None]).sum((0, 1))
-    tot_cnt = onehot.sum((0, 1))
-    return _lr_log_a(jnp.where(tot_cnt > 0, stay_cnt / jnp.maximum(tot_cnt, 1.0), 0.6),
-                     s)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _em_iteration(feats: jax.Array, lengths: jax.Array, params: HmmParams,
-                  cfg: HmmConfig):
-    """One segmental-EM iteration for one word's utterances [N, T, F]."""
+def em_suff_stats(feats: jax.Array, lengths: jax.Array, params: HmmParams,
+                  cfg: HmmConfig) -> SuffStats:
+    """E-step: Viterbi-align a shard of utterances, return additive stats."""
     n, t, f = feats.shape
     valid = jnp.arange(t)[None, :] < lengths[:, None]
     logb = emission_logb(feats, params)                           # [N, T, S]
     _, paths = jax.vmap(lambda lb, L: viterbi_decode(
         params.log_pi, params.log_a, lb, L))(logb, lengths)      # [N, T]
     gamma = jax.nn.one_hot(paths, cfg.n_states) * valid[..., None]
-    new = _m_step(feats, valid, gamma, params, cfg)
-    log_a = _estimate_transitions(paths, valid, cfg)
-    total_ll = jnp.sum(viterbi_score(params.log_pi, params.log_a,
-                                     jnp.moveaxis(logb, 1, 0), lengths))
-    return new._replace(log_a=log_a), total_ll
+    tot, sx, sxx = _gmm_stats(feats, valid, gamma, params, cfg)
+
+    cur, nxt = paths[:, :-1], paths[:, 1:]
+    pair_valid = (valid[:, :-1] & valid[:, 1:]).astype(jnp.float32)
+    onehot = jax.nn.one_hot(cur, cfg.n_states) * pair_valid[..., None]
+    stay = (cur == nxt).astype(jnp.float32) * pair_valid
+    stay_cnt = (onehot * stay[..., None]).sum((0, 1))
+    trans_cnt = onehot.sum((0, 1))
+    loglik = jnp.sum(viterbi_score(params.log_pi, params.log_a,
+                                   jnp.moveaxis(logb, 1, 0), lengths))
+    return SuffStats(tot, sx, sxx, stay_cnt, trans_cnt, loglik)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _em_iteration(feats: jax.Array, lengths: jax.Array, params: HmmParams,
+                  cfg: HmmConfig):
+    """One segmental-EM iteration for one word's utterances [N, T, F]."""
+    stats = em_suff_stats(feats, lengths, params, cfg)
+    return _params_from_stats(stats, params, cfg), stats.loglik
 
 
 def fit_word(feats: jax.Array, lengths: jax.Array,

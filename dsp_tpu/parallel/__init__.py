@@ -15,3 +15,7 @@ __all__ = [
     "DATA_AXIS", "BANK_AXIS", "make_mesh", "shard_queries", "shard_bank",
     "replicate", "pad_axis_to_multiple", "classify_sharded", "recognize_sharded",
 ]
+
+from dsp_tpu.parallel.em import em_step_sharded  # noqa: E402
+
+__all__.append("em_step_sharded")

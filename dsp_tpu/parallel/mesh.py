@@ -41,9 +41,9 @@ def make_mesh(data: int | None = None, bank: int | None = None,
         data = n // bank
     elif bank is None:
         bank = n // data
-    if data * bank != n:
-        raise ValueError(f"mesh {data}x{bank} != {n} devices")
-    arr = np.asarray(devices).reshape(data, bank)
+    if data * bank > n:
+        raise ValueError(f"mesh {data}x{bank} needs more than {n} devices")
+    arr = np.asarray(devices[: data * bank]).reshape(data, bank)
     return Mesh(arr, (DATA_AXIS, BANK_AXIS))
 
 

@@ -99,3 +99,31 @@ def test_score_words_batch_shape():
     scores = gh.score_words(feats, lengths, params)
     assert scores.shape == (5, w)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_sharded_em_matches_single_device():
+    """psum-reduced distributed EM == single-device EM (SURVEY.md §4.4)."""
+    import jax
+    from dsp_tpu import parallel as par
+    from dsp_tpu.parallel.em import em_step_sharded
+
+    rng = np.random.default_rng(7)
+    n, t, f = 8, 24, 6
+    feats = rng.standard_normal((n, t, f)).astype(np.float32)
+    lengths = rng.integers(10, t + 1, size=n).astype(np.int32)
+    params = gh.init_params(jnp.asarray(feats), jnp.asarray(lengths), HCFG,
+                            jax.random.PRNGKey(0))
+
+    want, want_ll = gh._em_iteration(jnp.asarray(feats), jnp.asarray(lengths),
+                                     params, HCFG)
+
+    mesh = par.make_mesh(4, 2)
+    fd, ld = par.shard_queries(mesh, feats, lengths)
+    pd = jax.tree.map(lambda a: par.replicate(mesh, np.asarray(a)), params)
+    got, got_ll = em_step_sharded(mesh, fd, ld, pd, HCFG)
+
+    np.testing.assert_allclose(float(got_ll), float(want_ll), rtol=1e-5)
+    for name in gh.HmmParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            rtol=1e-4, atol=1e-4, err_msg=name)
