@@ -73,8 +73,13 @@ def classify_features(feats: Features, bank: Features, bank_label_ids: jax.Array
     k=1 is plain nearest-template; k>1 does kNN majority vote with
     distance-sum tie-breaking, all on device.
     """
-    dists = jdtw.dtw_batch(feats.feats, feats.length,
-                           bank.feats, bank.length, cfg.dtw, precision)
+    if cfg.dtw.impl == "pallas":
+        from dsp_tpu.kernels.dtw_pallas import dtw_batch_pallas
+        dists = dtw_batch_pallas(feats.feats, feats.length,
+                                 bank.feats, bank.length, cfg.dtw, precision)
+    else:
+        dists = jdtw.dtw_batch(feats.feats, feats.length,
+                               bank.feats, bank.length, cfg.dtw, precision)
     if k <= 1:
         best = jnp.argmin(dists, axis=-1)
         return jnp.take(bank_label_ids, best), dists

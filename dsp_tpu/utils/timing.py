@@ -1,0 +1,54 @@
+"""Device timing utilities that survive an unreliable completion barrier.
+
+On the tunneled TPU backend, ``jax.block_until_ready`` can return before
+execution finishes and a host fetch carries tens of ms of relay latency.
+``chained_timeit`` therefore forces *sequential* device execution by
+threading a scalar data dependency from each iteration's output into the
+next iteration's input, and pays the fetch latency exactly once:
+
+    rate = n_iters / (fetch(last) - start)
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def chained_timeit(step_fn, example_args, n_iters: int = 8,
+                   warmup: int = 1) -> float:
+    """Median-free simple throughput timing of ``step_fn(*args) -> pytree``.
+
+    ``step_fn`` must accept a keyword ``token`` (scalar f32) and fold it
+    into its computation; it must return a pytree whose first leaf is
+    numeric.  Returns seconds per iteration.
+    """
+
+    def chained(n):
+        token = jnp.asarray(0.0, jnp.float32)
+        out = None
+        for _ in range(n):
+            out = step_fn(*example_args, token=token)
+            first = jax.tree.leaves(out)[0]
+            token = (first.ravel()[0] * 0).astype(jnp.float32)
+        return out
+
+    def force(out):
+        # fetch ONE element — forces device completion without shipping
+        # a potentially huge array through the relay
+        np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+
+    # compile + warm the whole chain once
+    force(chained(warmup))
+    t0 = time.perf_counter()
+    force(chained(n_iters))
+    dt = time.perf_counter() - t0
+    return dt / n_iters
+
+
+def token_mix(x: jax.Array, token: jax.Array) -> jax.Array:
+    """Fold a scalar token into x without changing its value (token == 0)."""
+    return x + token.astype(x.dtype)
