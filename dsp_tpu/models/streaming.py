@@ -1,0 +1,79 @@
+"""Online recognizer: streaming front-end + template matching.
+
+The reference's live-demo loop (SURVEY.md §3.3: record -> streaming
+endpoint detection -> on utterance end: MFCC -> classify).  The host side
+here only moves chunks and collects events; all signal processing runs in
+the jitted ``process_chunk``, and each finished utterance is classified
+with the same device pipeline as the offline recognizer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from dsp_tpu import pipeline as pl
+from dsp_tpu.config import PipelineConfig
+from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+from dsp_tpu.ops import frontend as fe
+from dsp_tpu.ops import streaming as st
+
+
+class StreamingRecognizer:
+    """Feed audio chunks, get (label, start_frame, end_frame) events."""
+
+    def __init__(self, recognizer: KnnDtwRecognizer, chunk_len: int = 1600):
+        self.rec = recognizer
+        self.cfg: PipelineConfig = recognizer.cfg
+        self.chunk_len = chunk_len
+        self.mats = recognizer.mats
+        self.state = st.init_state(self.cfg.frontend, chunk_len)
+        self._frames: list[np.ndarray] = []   # valid MFCC frames, host side
+
+    def reset(self) -> None:
+        self.state = st.init_state(self.cfg.frontend, self.chunk_len)
+        self._frames = []
+
+    def feed(self, chunk: np.ndarray):
+        """One chunk [chunk_len] -> list of recognized utterance events."""
+        assert len(chunk) == self.chunk_len
+        self.state, out = st.process_chunk(
+            self.state, jnp.asarray(chunk, dtype=jnp.float32), self.mats,
+            self.cfg.frontend, self.cfg.vad, self.chunk_len)
+        mfcc = np.asarray(out.mfcc)
+        valid = np.asarray(out.frame_valid)
+        self._frames.extend(mfcc[valid])
+
+        events = []
+        ends = np.asarray(out.utt_end)
+        for t in np.nonzero(ends)[0]:
+            start = int(np.asarray(out.utt_start_idx)[t])
+            end = int(np.asarray(out.utt_end_idx)[t])
+            end = min(end, len(self._frames))
+            if end - start >= 3:
+                events.append(self._classify(start, end))
+        return events
+
+    def _classify(self, start: int, end: int):
+        seg = np.stack(self._frames[start:end])               # [T', n_mfcc]
+        t_max = self.cfg.max_frames
+        padded = np.zeros((t_max, seg.shape[1]), dtype=np.float32)
+        padded[: len(seg)] = seg[:t_max]
+        length = jnp.asarray(min(len(seg), t_max))
+        feats = fe.add_deltas(jnp.asarray(padded), self.cfg.frontend, length)
+        feats = jnp.where((jnp.arange(t_max) < length)[:, None], feats, 0.0)
+        query = pl.Features(feats[None], length[None])
+        bank, ids = self.rec.device_bank()
+        label_ids, dists = pl.classify_features(query, bank, ids, cfg=self.cfg)
+        label = self.rec.labels[int(np.asarray(label_ids)[0])]
+        return label, start, end
+
+    def flush(self):
+        """Force-close a speech segment in progress (end of stream)."""
+        if int(np.asarray(self.state.vad_state)) == st.SPEECH:
+            start = int(np.asarray(self.state.utt_start))
+            end = len(self._frames)
+            if end - start >= 3:
+                return [self._classify(start, end)]
+        return []

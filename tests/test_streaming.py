@@ -1,0 +1,109 @@
+"""Streaming front-end tests: streaming == offline MFCC (exact grid parity),
+causal VAD sanity, end-to-end streaming recognition (SURVEY.md §4.6)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dsp_tpu.config import FrontendConfig, PipelineConfig, VadConfig
+from dsp_tpu import golden
+from dsp_tpu.io.dataset import synth_word
+from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+from dsp_tpu.models.streaming import StreamingRecognizer
+from dsp_tpu.ops import frontend as fe
+from dsp_tpu.ops import streaming as st
+
+FCFG = FrontendConfig()
+VCFG = VadConfig()
+CHUNK = 1600
+
+
+def _stream_all(x, chunk=CHUNK):
+    mats = fe.make_matrices(FCFG)
+    state = st.init_state(FCFG, chunk)
+    outs = []
+    for c in range(len(x) // chunk):
+        state, out = st.process_chunk(
+            state, jnp.asarray(x[c * chunk:(c + 1) * chunk]), mats,
+            FCFG, VCFG, chunk)
+        outs.append(out)
+    return state, outs
+
+
+@pytest.mark.parametrize("chunk", [1600, 3200])
+def test_streaming_mfcc_equals_offline(chunk):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(16000).astype(np.float32)
+    mats = fe.make_matrices(FCFG)
+    want = np.asarray(fe.mfcc(jnp.asarray(x), FCFG, mats))
+
+    state = st.init_state(FCFG, chunk)
+    got = []
+    for c in range(len(x) // chunk):
+        state, out = st.process_chunk(
+            state, jnp.asarray(x[c * chunk:(c + 1) * chunk]), mats,
+            FCFG, VCFG, chunk)
+        got.append(np.asarray(out.mfcc)[np.asarray(out.frame_valid)])
+    got = np.concatenate(got)
+    # streaming emits only frames fully contained in consumed chunks
+    assert want.shape[0] - got.shape[0] <= 2
+    # tiny f32 batching differences (different matmul tile shapes): the
+    # frames land on the identical grid, values match to ~1e-4 abs
+    np.testing.assert_allclose(got, want[: got.shape[0]], rtol=1e-3, atol=1e-3)
+
+
+def test_streaming_energy_zcr_match_offline():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(8000).astype(np.float32)
+    frames = golden.frame_signal(x, FCFG.frame_len, FCFG.hop_len)
+    want_e = golden.short_time_energy(frames)
+    want_z = golden.zero_crossing_rate(frames)
+    _, outs = _stream_all(x)
+    e = np.concatenate([np.asarray(o.energy)[np.asarray(o.frame_valid)] for o in outs])
+    z = np.concatenate([np.asarray(o.zcr)[np.asarray(o.frame_valid)] for o in outs])
+    np.testing.assert_allclose(e, want_e[: len(e)], rtol=1e-4)
+    np.testing.assert_array_equal(z, want_z[: len(z)])
+
+
+def test_streaming_vad_close_to_offline():
+    """Causal VAD start/end within a few frames of the offline detector."""
+    sr = 16000
+    rng = np.random.default_rng(2)
+    x = 0.001 * rng.standard_normal(32000)
+    x[8000:18000] += 0.4 * np.sin(2 * np.pi * 300 * np.arange(10000) / sr)
+    x = x.astype(np.float32)
+
+    off_start, off_end, found = golden.detect_endpoints(x, FCFG, VCFG)
+    assert found
+
+    _, outs = _stream_all(x)
+    ends = [(int(np.asarray(o.utt_start_idx)[t]), int(np.asarray(o.utt_end_idx)[t]))
+            for o in outs for t in np.nonzero(np.asarray(o.utt_end))[0]]
+    assert len(ends) == 1
+    s, e = ends[0]
+    assert abs(s - off_start) <= 5
+    assert abs(e - off_end) <= VCFG.max_silence_frames + VCFG.hangover_frames
+
+
+def test_streaming_recognizer_two_words():
+    labels = ["zero", "one", "two"]
+    rec = KnnDtwRecognizer(PipelineConfig())
+    for lab in labels:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(2)])
+
+    # build a 2-utterance stream: word, 1s silence, word
+    rng = np.random.default_rng(3)
+    sig = 0.002 * rng.standard_normal(16000 * 5)
+    w1 = synth_word("zero", 50, max_samples=24000)
+    w2 = synth_word("two", 60, max_samples=24000)
+    sig[8000:8000 + len(w1)] += w1
+    sig[48000:48000 + len(w2)] += w2
+    sig = sig.astype(np.float32)
+
+    stream = StreamingRecognizer(rec, CHUNK)
+    events = []
+    for c in range(len(sig) // CHUNK):
+        events += stream.feed(sig[c * CHUNK:(c + 1) * CHUNK])
+    events += stream.flush()
+    got = [e[0] for e in events]
+    assert got == ["zero", "two"], events
