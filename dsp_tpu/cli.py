@@ -1,0 +1,278 @@
+"""Command-line interface (the reference's L4 app/driver layer).
+
+Subcommands mirror the reference's scripts (SURVEY.md §3: enroll,
+recognize, evaluate, live demo) plus training/eval for the GMM-HMM path
+and corpus synthesis for users without recordings:
+
+    python -m dsp_tpu make-corpus --out data/ --n 5
+    python -m dsp_tpu enroll      --corpus data/train --bank bank.npz
+    python -m dsp_tpu recognize   --bank bank.npz one.wav two.wav
+    python -m dsp_tpu evaluate    --corpus data/test --bank bank.npz
+    python -m dsp_tpu train-hmm   --corpus data/train --model hmm.npz
+    python -m dsp_tpu evaluate-hmm --corpus data/test --model hmm.npz
+    python -m dsp_tpu demo        --bank bank.npz [--wav stream.wav]
+
+Every flag maps 1:1 onto a config dataclass field; defaults are the
+classical values (16 kHz, 25 ms/10 ms, 13 MFCC, lifter 22).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from dsp_tpu.config import DtwConfig, FrontendConfig, HmmConfig, PipelineConfig, VadConfig
+from dsp_tpu.utils.logging import RunMetrics, get_logger
+
+log = get_logger("dsp_tpu.cli")
+
+
+def _pipeline_cfg(args) -> PipelineConfig:
+    fe = FrontendConfig(
+        sample_rate=args.sr,
+        n_mfcc=args.n_mfcc,
+        n_mels=args.n_mels,
+        add_deltas=not args.no_deltas,
+        use_energy=args.use_energy,
+    )
+    dtw = DtwConfig(band_frac=args.band, impl=args.dtw_impl)
+    return PipelineConfig(
+        frontend=fe, dtw=dtw,
+        max_samples=args.max_samples,
+        use_vad=not args.no_vad,
+    )
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--sr", type=int, default=16000)
+    p.add_argument("--n-mfcc", type=int, default=13)
+    p.add_argument("--n-mels", type=int, default=26)
+    p.add_argument("--max-samples", type=int, default=32000)
+    p.add_argument("--no-deltas", action="store_true")
+    p.add_argument("--use-energy", action="store_true")
+    p.add_argument("--no-vad", action="store_true")
+    p.add_argument("--band", type=float, default=None,
+                   help="Sakoe-Chiba band fraction (e.g. 0.2)")
+    p.add_argument("--dtw-impl", choices=["scan", "pallas"], default="scan")
+    p.add_argument("--k", type=int, default=1, help="kNN votes")
+    p.add_argument("--metrics-out", default=None,
+                   help="write run metrics JSON to this path")
+
+
+def _load_corpus(path: str, sr: int):
+    from dsp_tpu.io.dataset import load_corpus_dir
+    corpus = load_corpus_dir(path, target_sr=sr)
+    if not corpus:
+        raise SystemExit(f"no <label>/*.wav found under {path}")
+    return corpus
+
+
+def cmd_make_corpus(args):
+    from dsp_tpu.io.dataset import DIGITS, make_corpus
+    from dsp_tpu.io.wav import write_wav
+    for split, seed in (("train", 0), ("test", 1000)):
+        corpus = make_corpus(DIGITS[: args.words], n_per_word=args.n, seed=seed)
+        for lab, sigs in corpus.items():
+            d = os.path.join(args.out, split, lab)
+            os.makedirs(d, exist_ok=True)
+            for i, x in enumerate(sigs):
+                write_wav(os.path.join(d, f"{lab}_{i:03d}.wav"), 16000, x)
+    log.info("wrote synthetic corpus to %s", args.out)
+
+
+def cmd_enroll(args):
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    cfg = _pipeline_cfg(args)
+    rec = KnnDtwRecognizer(cfg, k=args.k)
+    corpus = _load_corpus(args.corpus, args.sr)
+    for lab, sigs in sorted(corpus.items()):
+        rec.enroll(lab, sigs)
+        log.info("enrolled %-8s (%d templates)", lab, len(sigs))
+    rec.save(args.bank)
+    log.info("bank: %d templates, %d labels -> %s",
+             rec.n_templates, len(rec.labels), args.bank)
+
+
+def cmd_recognize(args):
+    from dsp_tpu.io.wav import read_wav
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    cfg = _pipeline_cfg(args)
+    rec = KnnDtwRecognizer.load(args.bank, cfg)
+    sigs = [read_wav(p, cfg.frontend.sample_rate)[1] for p in args.wavs]
+    labels = rec.classify_batch(sigs)
+    for path, lab in zip(args.wavs, labels):
+        print(f"{path}\t{lab}")
+
+
+def cmd_evaluate(args):
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    cfg = _pipeline_cfg(args)
+    rec = KnnDtwRecognizer.load(args.bank, cfg)
+    corpus = _load_corpus(args.corpus, args.sr)
+    metrics = RunMetrics("evaluate")
+    result = rec.evaluate(corpus)
+    metrics.record(accuracy=result["accuracy"], n=result["n"],
+                   bank_size=rec.n_templates, config=cfg)
+    print(json.dumps(result["confusion"], indent=2, sort_keys=True))
+    print(f"accuracy: {result['accuracy']:.4f} ({result['n']} utterances)")
+    if args.metrics_out:
+        metrics.dump(args.metrics_out)
+
+
+def cmd_train_hmm(args):
+    from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+    cfg = _pipeline_cfg(args)
+    hmm = HmmConfig(n_states=args.states, n_mix=args.mix, n_iter=args.iters)
+    rec = GmmHmmRecognizer(cfg, hmm)
+    rec.fit(_load_corpus(args.corpus, args.sr))
+    rec.save(args.model)
+    log.info("trained %d word HMMs -> %s", len(rec.labels), args.model)
+
+
+def cmd_evaluate_hmm(args):
+    from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+    cfg = _pipeline_cfg(args)
+    hmm = HmmConfig(n_states=args.states, n_mix=args.mix, n_iter=args.iters)
+    rec = GmmHmmRecognizer.load(args.model, cfg, hmm)
+    result = rec.evaluate(_load_corpus(args.corpus, args.sr))
+    print(f"accuracy: {result['accuracy']:.4f} ({result['n']} utterances)")
+    if args.metrics_out:
+        m = RunMetrics("evaluate-hmm")
+        m.record(**result)
+        m.dump(args.metrics_out)
+
+
+def cmd_demo(args):
+    """Streaming demo: a WAV (or synthetic stream) fed chunk by chunk."""
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    from dsp_tpu.models.streaming import StreamingRecognizer
+    cfg = _pipeline_cfg(args)
+    rec = KnnDtwRecognizer.load(args.bank, cfg)
+    stream = StreamingRecognizer(rec, chunk_len=args.chunk)
+
+    if args.wav:
+        from dsp_tpu.io.wav import read_wav
+        _, sig = read_wav(args.wav, cfg.frontend.sample_rate)
+    elif args.mic:
+        _demo_mic(stream, args)
+        return
+    else:
+        sig = _synth_stream(rec.labels)
+    n = len(sig) // args.chunk
+    for c in range(n):
+        for lab, s, e in stream.feed(sig[c * args.chunk:(c + 1) * args.chunk]):
+            t0, t1 = s * 0.010, e * 0.010
+            print(f"[{t0:7.2f}s - {t1:7.2f}s] {lab}")
+    for lab, s, e in stream.flush():
+        print(f"[{s * 0.010:7.2f}s - {e * 0.010:7.2f}s] {lab} (flush)")
+
+
+def _synth_stream(labels, n_words: int = 5, seed: int = 7):
+    from dsp_tpu.io.dataset import synth_word
+    rng = np.random.default_rng(seed)
+    sig = 0.002 * rng.standard_normal(16000 * (3 * n_words + 1))
+    pos = 8000
+    spoken = []
+    for i in range(n_words):
+        lab = labels[rng.integers(len(labels))]
+        w = synth_word(lab, 500 + i, max_samples=24000)
+        end = min(pos + len(w), len(sig))
+        sig[pos:end] += w[: end - pos]
+        spoken.append(lab)
+        pos = end + int(rng.integers(12000, 20000))
+        if pos + 8000 >= len(sig):
+            break
+    log.info("synthetic stream says: %s", " ".join(spoken))
+    return sig.astype(np.float32)
+
+
+def _demo_mic(stream, args):
+    try:
+        import pyaudio  # noqa: F401  (not in this image; gated like the ref's recorder)
+    except ImportError:
+        raise SystemExit(
+            "PyAudio is not installed in this environment; microphone "
+            "capture is gated. Use --wav FILE or the synthetic stream.")
+    # (reference-parity mic loop; executed only where pyaudio exists)
+    pa = pyaudio.PyAudio()
+    sr = stream.cfg.frontend.sample_rate
+    h = pa.open(format=pyaudio.paInt16, channels=1, rate=sr, input=True,
+                frames_per_buffer=args.chunk)
+    print("listening (ctrl-c to stop)...")
+    try:
+        while True:
+            raw = h.read(args.chunk)
+            x = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+            for lab, s, e in stream.feed(x):
+                print(f"[{s * 0.010:7.2f}s - {e * 0.010:7.2f}s] {lab}")
+    except KeyboardInterrupt:
+        pass
+    finally:
+        h.close()
+        pa.terminate()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="dsp_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("make-corpus", help="write a synthetic WAV corpus")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n", type=int, default=5, help="utterances per word/split")
+    p.add_argument("--words", type=int, default=10)
+    p.set_defaults(fn=cmd_make_corpus)
+
+    p = sub.add_parser("enroll", help="build a template bank from a corpus")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--bank", required=True)
+    _add_common(p)
+    p.set_defaults(fn=cmd_enroll)
+
+    p = sub.add_parser("recognize", help="classify WAV files")
+    p.add_argument("--bank", required=True)
+    p.add_argument("wavs", nargs="+")
+    _add_common(p)
+    p.set_defaults(fn=cmd_recognize)
+
+    p = sub.add_parser("evaluate", help="accuracy of a bank on a corpus")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--bank", required=True)
+    _add_common(p)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("train-hmm", help="train per-word GMM-HMMs")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--model", required=True)
+    p.add_argument("--states", type=int, default=5)
+    p.add_argument("--mix", type=int, default=3)
+    p.add_argument("--iters", type=int, default=10)
+    _add_common(p)
+    p.set_defaults(fn=cmd_train_hmm)
+
+    p = sub.add_parser("evaluate-hmm", help="accuracy of a GMM-HMM model")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--model", required=True)
+    p.add_argument("--states", type=int, default=5)
+    p.add_argument("--mix", type=int, default=3)
+    p.add_argument("--iters", type=int, default=10)
+    _add_common(p)
+    p.set_defaults(fn=cmd_evaluate_hmm)
+
+    p = sub.add_parser("demo", help="streaming recognition demo")
+    p.add_argument("--bank", required=True)
+    p.add_argument("--wav", default=None)
+    p.add_argument("--mic", action="store_true")
+    p.add_argument("--chunk", type=int, default=1600)
+    _add_common(p)
+    p.set_defaults(fn=cmd_demo)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

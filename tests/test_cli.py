@@ -1,0 +1,72 @@
+"""CLI end-to-end: make-corpus -> enroll -> recognize/evaluate -> demo."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dsp_tpu import cli
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    cli.main(["make-corpus", "--out", d, "--n", "2", "--words", "3"])
+    return d
+
+
+def test_make_corpus_layout(corpus_dir):
+    train = os.path.join(corpus_dir, "train")
+    labels = sorted(os.listdir(train))
+    assert len(labels) == 3
+    for lab in labels:
+        wavs = os.listdir(os.path.join(train, lab))
+        assert len(wavs) == 2
+
+
+def test_enroll_evaluate_roundtrip(corpus_dir, tmp_path, capsys):
+    bank = str(tmp_path / "bank.npz")
+    metrics = str(tmp_path / "metrics.json")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    assert os.path.exists(bank)
+    cli.main(["evaluate", "--corpus", os.path.join(corpus_dir, "test"),
+              "--bank", bank, "--metrics-out", metrics])
+    out = capsys.readouterr().out
+    assert "accuracy:" in out
+    acc = float(out.rsplit("accuracy:", 1)[1].split("(")[0])
+    assert acc >= 0.8
+    rec = json.load(open(metrics))
+    assert rec["accuracy"] == acc
+
+
+def test_recognize_command(corpus_dir, tmp_path, capsys):
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    lab_dir = sorted(os.listdir(os.path.join(corpus_dir, "test")))[0]
+    wav = os.path.join(corpus_dir, "test", lab_dir,
+                       sorted(os.listdir(os.path.join(corpus_dir, "test", lab_dir)))[0])
+    cli.main(["recognize", "--bank", bank, wav])
+    out = capsys.readouterr().out
+    assert wav in out
+
+
+def test_demo_synthetic_stream(corpus_dir, tmp_path, capsys):
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    cli.main(["demo", "--bank", bank])
+    out = capsys.readouterr().out
+    assert out.count("s]") >= 3   # recognized several events
+
+
+def test_train_hmm_roundtrip(corpus_dir, tmp_path, capsys):
+    model = str(tmp_path / "hmm.npz")
+    cli.main(["train-hmm", "--corpus", os.path.join(corpus_dir, "train"),
+              "--model", model, "--states", "3", "--mix", "2", "--iters", "3"])
+    cli.main(["evaluate-hmm", "--corpus", os.path.join(corpus_dir, "test"),
+              "--model", model, "--states", "3", "--mix", "2", "--iters", "3"])
+    out = capsys.readouterr().out
+    assert "accuracy:" in out
