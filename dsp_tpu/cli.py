@@ -64,8 +64,12 @@ def _add_common(p: argparse.ArgumentParser):
 
 
 def _load_corpus(path: str, sr: int):
+    from dsp_tpu.io import native
     from dsp_tpu.io.dataset import load_corpus_dir
-    corpus = load_corpus_dir(path, target_sr=sr)
+    if native.available():
+        corpus = native.load_corpus_dir_native(path, target_sr=sr)
+    else:
+        corpus = load_corpus_dir(path, target_sr=sr)
     if not corpus:
         raise SystemExit(f"no <label>/*.wav found under {path}")
     return corpus
