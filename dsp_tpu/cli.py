@@ -150,6 +150,83 @@ def cmd_evaluate_hmm(args):
         m.dump(args.metrics_out)
 
 
+def cmd_evaluate_sc2(args):
+    """Speech Commands v2 35-class kNN-DTW over a sharded bank (config 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsp_tpu import parallel as par
+    from dsp_tpu import pipeline as pl
+    from dsp_tpu.io.speech_commands import load_split
+    from dsp_tpu.ops import frontend as fe_ops
+
+    args.max_samples = min(args.max_samples, 16000)   # SC2 clips are <= 1 s
+    cfg = _pipeline_cfg(args)
+    mats = fe_ops.make_matrices(cfg.frontend)
+    metrics = RunMetrics("evaluate-sc2")
+
+    log.info("loading templates (train split, %d per word)", args.templates)
+    tr_sigs, tr_lens, tr_ids, labels = load_split(
+        args.root, "train", per_word=args.templates,
+        max_samples=cfg.max_samples, seed=0)
+    bank = pl.extract_features(jnp.asarray(tr_sigs), jnp.asarray(tr_lens),
+                               mats, cfg)
+
+    log.info("loading test split%s", f" (cap {args.limit})" if args.limit else "")
+    te_sigs, te_lens, te_ids, te_labels = load_split(
+        args.root, args.split, per_word=args.limit,
+        max_samples=cfg.max_samples, seed=1)
+    assert te_labels == labels
+
+    n_dev = len(jax.devices())
+    use_mesh = n_dev > 1 and not args.no_mesh
+    if use_mesh:
+        mesh = par.make_mesh(1, n_dev)
+        bank_f, _ = par.pad_axis_to_multiple(np.asarray(bank.feats), n_dev)
+        bank_l, k_orig = par.pad_axis_to_multiple(np.asarray(bank.length), n_dev)
+        bank_ids, _ = par.pad_axis_to_multiple(tr_ids, n_dev)
+        bank_l = np.maximum(bank_l, 1)
+        valid = np.arange(len(bank_l)) < k_orig
+        bf = par.shard_bank(mesh, bank_f)
+        bl = par.shard_bank(mesh, bank_l)
+        bv = par.shard_bank(mesh, valid)
+        idsd = par.replicate(mesh, bank_ids)
+        log.info("bank sharded over %d devices (%d templates)", n_dev, k_orig)
+
+    import time
+    correct = total = 0
+    t0 = time.perf_counter()
+    bs = args.batch
+    for lo in range(0, len(te_sigs), bs):
+        sl = slice(lo, min(lo + bs, len(te_sigs)))
+        sigs = np.zeros((bs, cfg.max_samples), np.float32)
+        lens = np.ones(bs, np.int32)
+        n_real = sl.stop - sl.start
+        sigs[:n_real] = te_sigs[sl]
+        lens[:n_real] = te_lens[sl]
+        if use_mesh:
+            qd, qld = par.shard_queries(mesh, sigs, lens)
+            got, _ = par.recognize_sharded(mesh, qd, qld, mats, bf, bl, idsd,
+                                           bv, cfg=cfg)
+        else:
+            got, _ = pl.recognize_batch(jnp.asarray(sigs), jnp.asarray(lens),
+                                        mats, bank, jnp.asarray(tr_ids), cfg)
+        got = np.asarray(got)[:n_real]
+        correct += int((got == te_ids[sl]).sum())
+        total += n_real
+        log.info("  %d/%d acc=%.4f", total, len(te_sigs), correct / total)
+    dt = time.perf_counter() - t0
+    acc = correct / max(total, 1)
+    aligns = total * bank.feats.shape[0]
+    print(f"accuracy: {acc:.4f} ({total} clips, {len(labels)} classes)")
+    print(f"throughput: {aligns / dt:,.0f} alignments/s")
+    metrics.record(accuracy=acc, n=total, classes=len(labels),
+                   templates=int(bank.feats.shape[0]),
+                   alignments_per_sec=aligns / dt, devices=n_dev)
+    if args.metrics_out:
+        metrics.dump(args.metrics_out)
+
+
 def cmd_demo(args):
     """Streaming demo: a WAV (or synthetic stream) fed chunk by chunk."""
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
@@ -265,6 +342,20 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=10)
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_hmm)
+
+    p = sub.add_parser("evaluate-sc2",
+                       help="Speech Commands v2 kNN-DTW eval (local dataset)")
+    p.add_argument("--root", required=True,
+                   help="extracted speech_commands_v2 directory")
+    p.add_argument("--split", choices=["test", "validation"], default="test")
+    p.add_argument("--templates", type=int, default=10,
+                   help="templates enrolled per word")
+    p.add_argument("--limit", type=int, default=None,
+                   help="cap test clips per word")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--no-mesh", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_evaluate_sc2)
 
     p = sub.add_parser("demo", help="streaming recognition demo")
     p.add_argument("--bank", required=True)
