@@ -71,19 +71,27 @@ def main():
     qn = jnp.full(chunk, cfg.max_samples, dtype=jnp.int32)
     ids_d = jnp.asarray(ids)
 
-    def step(signals, n_samples):
-        labels, _ = pl.recognize_batch(signals, n_samples, mats, bank, ids_d,
-                                       cfg, precision)
+    @jax.jit
+    def step(signals, n_samples, token):
+        # fold the previous chunk's result in as a zero-valued data
+        # dependency: forces sequential execution so ONE final host fetch
+        # times the whole chain (block_until_ready is unreliable through
+        # the relay and per-chunk fetches add ~25 ms latency each)
+        labels, _ = pl.recognize_batch(signals + token, n_samples, mats,
+                                       bank, ids_d, cfg, precision)
         return labels
 
-    # warmup / compile.  NB: on the tunneled TPU backend block_until_ready
-    # does not reliably wait; a host fetch of the (tiny) label vector is
-    # the only sound completion barrier, so timing is fetch-to-fetch.
-    np.asarray(step(chunks[0], qn))
+    def run_chain():
+        token = jnp.asarray(0.0, jnp.float32)
+        labels = None
+        for c in range(n_chunks):
+            labels = step(chunks[c], qn, token)
+            token = (labels[0] * 0).astype(jnp.float32)
+        return np.asarray(labels[0])  # single tiny fetch = completion barrier
 
+    run_chain()                        # compile + warm
     t0 = time.perf_counter()
-    for c in range(n_chunks):
-        np.asarray(step(chunks[c], qn))
+    run_chain()
     dt = time.perf_counter() - t0
 
     alignments = n_chunks * chunk * bank.feats.shape[0]

@@ -75,8 +75,10 @@ def viterbi_decode(log_pi: jax.Array, log_a: jax.Array, log_b: jax.Array,
     last = jnp.argmax(delta)
 
     def back(state, psi):
+        # reverse scan: processing psis[i] (the i -> i+1 transition) with
+        # carry path[i+1] emits path[i] at output position i
         prev = psi[state]
-        return prev, state
+        return prev, prev
 
     _, rev_path = jax.lax.scan(back, last, psis, reverse=True)
     path = jnp.concatenate([rev_path, last[None]])
