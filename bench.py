@@ -36,7 +36,7 @@ def main():
 
     n_utts = int(os.environ.get("BENCH_UTTS", 1024))
     n_templates = int(os.environ.get("BENCH_TEMPLATES", 100))
-    chunk = int(os.environ.get("BENCH_CHUNK", 128))
+    chunk = int(os.environ.get("BENCH_CHUNK", 256))
     precision = (jax.lax.Precision.HIGHEST
                  if os.environ.get("BENCH_PRECISION", "default") == "highest"
                  else jax.lax.Precision.DEFAULT)
