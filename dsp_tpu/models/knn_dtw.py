@@ -23,17 +23,27 @@ from dsp_tpu.ops import frontend as fe
 
 
 class KnnDtwRecognizer:
-    """Template-bank recognizer: enroll utterances, classify by DTW."""
+    """Template-bank recognizer: enroll utterances, classify by DTW.
 
-    def __init__(self, cfg: PipelineConfig = PipelineConfig(), k: int = 1):
+    Pass ``mesh`` (a `jax.sharding.Mesh` from `dsp_tpu.parallel.make_mesh`)
+    to run classification bank-sharded across devices (k=1 only); the
+    query batch and bank are padded to the mesh axes transparently.
+    """
+
+    def __init__(self, cfg: PipelineConfig = PipelineConfig(), k: int = 1,
+                 mesh=None):
+        if mesh is not None and k > 1:
+            raise ValueError("mesh-sharded classification supports k=1 only")
         self.cfg = cfg
         self.k = k
+        self.mesh = mesh
         self.mats = fe.make_matrices(cfg.frontend)
         self.labels: list[str] = []          # label id -> string
         self._bank_feats: list[np.ndarray] = []   # [U_max, F] each
         self._bank_lens: list[int] = []
         self._bank_label_ids: list[int] = []
         self._device_bank = None             # cached (Features, label_ids)
+        self._sharded_bank = None            # cached mesh-resident bank
 
     # ------------------------------------------------------------- enroll
     def _pad_signals(self, signals):
@@ -64,6 +74,7 @@ class KnnDtwRecognizer:
             self._bank_lens.append(int(l[i]))
             self._bank_label_ids.append(label_id)
         self._device_bank = None
+        self._sharded_bank = None
 
     @property
     def n_templates(self) -> int:
@@ -81,9 +92,35 @@ class KnnDtwRecognizer:
             self._device_bank = (bank, ids)
         return self._device_bank
 
+    def sharded_bank(self):
+        """Bank padded to the mesh bank axis and placed shard-wise."""
+        from dsp_tpu import parallel as par
+
+        if self._sharded_bank is None:
+            if not self._bank_feats:
+                raise ValueError("empty template bank — enroll first")
+            nb = self.mesh.shape[par.BANK_AXIS]
+            feats, k_orig = par.pad_axis_to_multiple(
+                np.stack(self._bank_feats).astype(np.float32), nb)
+            lens, _ = par.pad_axis_to_multiple(
+                np.asarray(self._bank_lens, dtype=np.int32), nb)
+            ids, _ = par.pad_axis_to_multiple(
+                np.asarray(self._bank_label_ids, dtype=np.int32), nb)
+            lens = np.maximum(lens, 1)
+            valid = np.arange(len(lens)) < k_orig
+            self._sharded_bank = (
+                par.shard_bank(self.mesh, feats),
+                par.shard_bank(self.mesh, lens),
+                par.replicate(self.mesh, ids),
+                par.shard_bank(self.mesh, valid),
+            )
+        return self._sharded_bank
+
     # ------------------------------------------------------------ classify
     def classify_batch(self, signals, return_distances: bool = False):
         """List of signals -> list of labels (single device program)."""
+        if self.mesh is not None:
+            return self._classify_sharded(signals, return_distances)
         x, n = self._pad_signals(signals)
         bank, ids = self.device_bank()
         label_ids, dists = pl.recognize_batch(
@@ -92,6 +129,25 @@ class KnnDtwRecognizer:
         labels = [self.labels[int(i)] for i in np.asarray(label_ids)]
         if return_distances:
             return labels, np.asarray(dists)
+        return labels
+
+    def _classify_sharded(self, signals, return_distances: bool):
+        from dsp_tpu import parallel as par
+
+        x, n = self._pad_signals(signals)
+        nd = self.mesh.shape[par.DATA_AXIS]
+        x_p, b_orig = par.pad_axis_to_multiple(np.asarray(x), nd)
+        n_p, _ = par.pad_axis_to_multiple(np.asarray(n), nd)
+        n_p = np.maximum(n_p, self.cfg.frontend.frame_len)
+        xd, nd_ = par.shard_queries(self.mesh, x_p, n_p)
+        bf, bl, ids, valid = self.sharded_bank()
+        label_ids, best = par.recognize_sharded(
+            self.mesh, xd, nd_, self.mats, bf, bl, ids, valid, cfg=self.cfg)
+        labels = [self.labels[int(i)] for i in np.asarray(label_ids)[:b_orig]]
+        if return_distances:
+            # sharded path reduces to the best distance only (by design:
+            # the full matrix never leaves the shards)
+            return labels, np.asarray(best)[:b_orig]
         return labels
 
     def _classify_knn(self, x, n, bank, ids):

@@ -103,3 +103,20 @@ def test_recognize_sharded_end_to_end():
     np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(want_ids))
     # and the predictions are actually right
     np.testing.assert_array_equal(np.asarray(got_ids), np.array([0, 1, 2, 3] * 2))
+
+
+def test_recognizer_with_mesh_matches_single_device():
+    """KnnDtwRecognizer(mesh=...) == KnnDtwRecognizer() labels, with ragged
+    batch (B=5 not divisible by data axis) and ragged bank (K=6)."""
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    labels = ["zero", "one", "two"]
+    mesh = par.make_mesh(2, 4)
+    plain = KnnDtwRecognizer(CFG)
+    sharded = KnnDtwRecognizer(CFG, mesh=mesh)
+    for rec in (plain, sharded):
+        for lab in labels:
+            rec.enroll(lab, [synth_word(lab, i) for i in range(2)])
+    tests = [synth_word(labels[i % 3], 40 + i) for i in range(5)]
+    assert sharded.classify_batch(tests) == plain.classify_batch(tests)
+    assert plain.classify_batch(tests) == [labels[i % 3] for i in range(5)]
