@@ -343,6 +343,9 @@ def main(argv=None):
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_hmm)
 
+    p = sub.add_parser("bench", help="run the headline throughput benchmark")
+    p.set_defaults(fn=lambda a: __import__("bench").main())
+
     p = sub.add_parser("evaluate-sc2",
                        help="Speech Commands v2 kNN-DTW eval (local dataset)")
     p.add_argument("--root", required=True,

@@ -52,11 +52,18 @@ class HmmParams(NamedTuple):
 
 # --------------------------------------------------------------- emissions
 def gmm_loglik_flat(x: jax.Array, means: jax.Array, log_var: jax.Array) -> jax.Array:
-    """Diagonal-Gaussian log-lik via GEMM: x [..., F], params [K, F] -> [..., K]."""
+    """Diagonal-Gaussian log-lik via GEMM: x [..., F], params [K, F] -> [..., K].
+
+    The three terms of the expansion are individually large and cancel, so
+    the matmuls MUST run at f32 MXU precision — with the default bf16
+    multiplies the per-word score differences drown in rounding (observed:
+    chance-level decoding on TPU, fine on CPU).
+    """
     f = x.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
     inv_var = jnp.exp(-log_var)                                   # [K, F]
-    a = jnp.matmul(x * x, inv_var.T)                              # [..., K]
-    b = jnp.matmul(x, (means * inv_var).T)                        # [..., K]
+    a = jnp.matmul(x * x, inv_var.T, precision=hi)                # [..., K]
+    b = jnp.matmul(x, (means * inv_var).T, precision=hi)          # [..., K]
     c = jnp.sum(means * means * inv_var + log_var, axis=-1)       # [K]
     return -0.5 * (a - 2.0 * b + c + f * LOG_2PI)
 

@@ -19,3 +19,7 @@ __all__ = [
 from dsp_tpu.parallel.em import em_step_sharded  # noqa: E402
 
 __all__.append("em_step_sharded")
+
+from dsp_tpu.parallel import multihost  # noqa: E402
+
+__all__.append("multihost")

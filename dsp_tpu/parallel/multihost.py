@@ -1,0 +1,86 @@
+"""Multi-host execution support (SURVEY.md §2b / §5).
+
+One TPU slice spanning several hosts runs this framework SPMD: every
+host executes the same program, `jax.distributed.initialize()` wires the
+hosts into one runtime, and the ('data','bank') mesh then spans the
+global device set.  Failure policy is fail-fast (documented non-goal:
+no elastic recovery) — if a host dies, the collective times out and the
+job must be restarted.
+
+Typical use:
+
+    from dsp_tpu.parallel import multihost, make_mesh
+    multihost.initialize()                  # no-op on a single host
+    mesh = make_mesh()                      # all global devices on 'bank'
+    ...
+    metrics = multihost.all_hosts_agree(local_metrics)
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from dsp_tpu.utils.logging import get_logger
+
+log = get_logger("dsp_tpu.multihost")
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Initialise the multi-host runtime (no-op for single-process runs).
+
+    With no arguments, relies on the TPU environment auto-detection that
+    `jax.distributed.initialize` performs on Cloud TPU; arguments are
+    passed through for manual clusters.
+    """
+    if num_processes in (None, 1) and coordinator_address is None:
+        try:
+            already_multi = jax.process_count() > 1
+        except RuntimeError:
+            already_multi = False
+        if already_multi:
+            return
+    if coordinator_address is None and num_processes is None:
+        # single host: nothing to wire up
+        if jax.process_count() == 1:
+            log.info("single-process run; distributed init skipped")
+            return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    log.info("distributed: process %d/%d, %d global devices",
+             jax.process_index(), jax.process_count(),
+             len(jax.devices()))
+
+
+def is_primary() -> bool:
+    """True on the host that should write checkpoints / print reports."""
+    return jax.process_index() == 0
+
+
+def all_hosts_agree(value: float, atol: float = 0.0) -> bool:
+    """Cross-host consistency check for replicated scalars (e.g. accuracy).
+
+    Uses one tiny psum over all devices; with fully replicated inputs the
+    mean must equal the local value.
+    """
+    arr = jnp_mean_across_hosts(value)
+    return bool(abs(arr - value) <= atol + 1e-9 * abs(value))
+
+
+def jnp_mean_across_hosts(value: float) -> float:
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devices = np.asarray(jax.devices())
+    mesh = Mesh(devices.reshape(-1), ("all",))
+    x = jnp.full((len(devices),), float(value), dtype=jnp.float32)
+
+    def mean(v):
+        return jax.lax.pmean(v[0], "all")
+
+    out = jax.shard_map(mean, mesh=mesh, in_specs=(P("all"),), out_specs=P(),
+                        check_vma=False)(x)
+    return float(out)

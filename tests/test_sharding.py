@@ -120,3 +120,10 @@ def test_recognizer_with_mesh_matches_single_device():
     tests = [synth_word(labels[i % 3], 40 + i) for i in range(5)]
     assert sharded.classify_batch(tests) == plain.classify_batch(tests)
     assert plain.classify_batch(tests) == [labels[i % 3] for i in range(5)]
+
+
+def test_multihost_helpers_single_process():
+    from dsp_tpu.parallel import multihost
+    multihost.initialize()          # no-op single host
+    assert multihost.is_primary()
+    assert multihost.all_hosts_agree(0.875)
