@@ -177,6 +177,38 @@ class KnnDtwRecognizer:
             "confusion": confusion,
         }
 
+    # ------------------------------------------------------------ condense
+    def condense(self, method: str = "dba", n_iter: int = 3) -> None:
+        """Collapse each label's templates into one (medoid or DBA average).
+
+        Shrinks the bank K-fold — classification cost scales with K, so a
+        condensed bank trades a little accuracy for proportional speed
+        (the reference's optional template-averaging enrollment step).
+        """
+        from dsp_tpu.ops import align as jalign
+
+        new_feats, new_lens, new_ids = [], [], []
+        for label_id in range(len(self.labels)):
+            idx = [i for i, l in enumerate(self._bank_label_ids)
+                   if l == label_id]
+            if not idx:
+                continue
+            feats = jnp.asarray(np.stack([self._bank_feats[i] for i in idx]))
+            lens = jnp.asarray(np.asarray([self._bank_lens[i] for i in idx],
+                                          dtype=np.int32))
+            mi = int(jalign.medoid(feats, lens, self.cfg.dtw))
+            center, len_c = feats[mi], lens[mi]
+            if method == "dba" and len(idx) > 1:
+                center = jalign.dba_average(feats, lens, center, len_c,
+                                            n_iter, self.cfg.dtw)
+            new_feats.append(np.asarray(center))
+            new_lens.append(int(len_c))
+            new_ids.append(label_id)
+        self._bank_feats, self._bank_lens = new_feats, new_lens
+        self._bank_label_ids = new_ids
+        self._device_bank = None
+        self._sharded_bank = None
+
     # ---------------------------------------------------------- checkpoint
     def save(self, path: str) -> None:
         bank = np.stack(self._bank_feats) if self._bank_feats else \

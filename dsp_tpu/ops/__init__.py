@@ -22,3 +22,7 @@ __all__ = [
     "dtw_distance", "dtw_batch", "masked_cost", "dtw_from_cost",
     "viterbi_score", "viterbi_decode", "forward_score",
 ]
+
+from dsp_tpu.ops.align import dtw_alignment, dba_average, medoid  # noqa: E402
+
+__all__ += ["dtw_alignment", "dba_average", "medoid"]
