@@ -24,12 +24,19 @@ DIGITS = ["zero", "one", "two", "three", "four",
           "five", "six", "seven", "eight", "nine"]
 
 
+def _fnv(data: bytes) -> int:
+    """FNV-1a — deterministic across processes (unlike builtin str hash,
+    which is salted by PYTHONHASHSEED and made synthetic audio differ
+    between runs)."""
+    h = 1469598103934665603
+    for ch in data:
+        h = ((h ^ ch) * 1099511628211) % (1 << 64)
+    return h
+
+
 def _word_params(label: str):
     """Deterministic per-word tone pattern derived from the label string."""
-    h = np.uint64(1469598103934665603)
-    for ch in label.encode():
-        h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
-    rng = np.random.default_rng(int(h) % (2**32))
+    rng = np.random.default_rng(_fnv(label.encode()) % (2**32))
     n_seg = int(rng.integers(2, 5))
     segs = []
     for _ in range(n_seg):
@@ -43,7 +50,7 @@ def _word_params(label: str):
 def synth_word(label: str, seed: int, sr: int = 16000,
                max_samples: int = 32000, noise: float = 0.005) -> np.ndarray:
     """Synthesize one utterance of ``label`` -> float32 [max_samples]."""
-    rng = np.random.default_rng(hash((label, int(seed))) % (2**32))
+    rng = np.random.default_rng(_fnv(f"{label}|{int(seed)}".encode()) % (2**32))
     segs = _word_params(label)
     speed = rng.uniform(0.8, 1.25)          # per-utterance tempo
     pieces = []
