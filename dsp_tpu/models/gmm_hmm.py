@@ -110,6 +110,7 @@ def _lr_log_a(stay_prob: jax.Array, n_states: int) -> jax.Array:
     return log_a
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def init_params(feats: jax.Array, lengths: jax.Array, cfg: HmmConfig,
                 key: jax.Array) -> HmmParams:
     """Uniform-segmentation init for one word: feats [N, T, F]."""
