@@ -25,7 +25,7 @@ import sys
 
 import numpy as np
 
-from dsp_tpu.config import DtwConfig, FrontendConfig, HmmConfig, PipelineConfig, VadConfig
+from dsp_tpu.config import DtwConfig, FrontendConfig, HmmConfig, PipelineConfig
 from dsp_tpu.utils.logging import RunMetrics, get_logger
 
 log = get_logger("dsp_tpu.cli")

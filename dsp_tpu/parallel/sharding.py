@@ -18,7 +18,6 @@ orchestration per shard.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
