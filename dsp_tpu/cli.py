@@ -227,6 +227,26 @@ def cmd_evaluate_sc2(args):
         metrics.dump(args.metrics_out)
 
 
+def cmd_plot(args):
+    """Render the pipeline view of one WAV (or synthetic word) to PNG."""
+    from dsp_tpu.viz import plot_pipeline
+    cfg = _pipeline_cfg(args)
+    if args.wav:
+        from dsp_tpu.io.wav import read_wav
+        _, x = read_wav(args.wav, cfg.frontend.sample_rate)
+        title = args.wav
+    else:
+        from dsp_tpu.io.dataset import synth_word
+        x = synth_word(args.word, 0, max_samples=cfg.max_samples)
+        title = f"synthetic '{args.word}'"
+    rec = None
+    if args.bank:
+        from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+        rec = KnnDtwRecognizer.load(args.bank, cfg)
+    plot_pipeline(x, args.out, cfg, rec, title)
+    log.info("wrote %s", args.out)
+
+
 def cmd_demo(args):
     """Streaming demo: a WAV (or synthetic stream) fed chunk by chunk."""
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
@@ -359,6 +379,14 @@ def main(argv=None):
     p.add_argument("--no-mesh", action="store_true")
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_sc2)
+
+    p = sub.add_parser("plot", help="render pipeline internals to PNG")
+    p.add_argument("--wav", default=None)
+    p.add_argument("--word", default="three", help="synthetic word if no --wav")
+    p.add_argument("--bank", default=None, help="optional bank for distances")
+    p.add_argument("--out", default="pipeline.png")
+    _add_common(p)
+    p.set_defaults(fn=cmd_plot)
 
     p = sub.add_parser("demo", help="streaming recognition demo")
     p.add_argument("--bank", required=True)

@@ -70,3 +70,12 @@ def test_train_hmm_roundtrip(corpus_dir, tmp_path, capsys):
               "--model", model, "--states", "3", "--mix", "2", "--iters", "3"])
     out = capsys.readouterr().out
     assert "accuracy:" in out
+
+
+def test_plot_command(corpus_dir, tmp_path):
+    bank = str(tmp_path / "bank.npz")
+    out = str(tmp_path / "pipeline.png")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    cli.main(["plot", "--word", "one", "--bank", bank, "--out", out])
+    assert os.path.getsize(out) > 10000   # a real PNG was rendered
