@@ -29,6 +29,9 @@ NORTH_STAR = 10_000.0
 
 
 def main():
+    from dsp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from dsp_tpu import pipeline as pl
     from dsp_tpu.config import PipelineConfig
     from dsp_tpu.io.dataset import DIGITS, synth_word

@@ -31,6 +31,9 @@ def emit(**kv):
 
 
 def main():
+    from dsp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from dsp_tpu import pipeline as pl
     from dsp_tpu.config import HmmConfig, PipelineConfig
     from dsp_tpu.io.dataset import DIGITS, synth_word

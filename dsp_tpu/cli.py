@@ -397,6 +397,8 @@ def main(argv=None):
     p.set_defaults(fn=cmd_demo)
 
     args = ap.parse_args(argv)
+    from dsp_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     return args.fn(args)
 
 
