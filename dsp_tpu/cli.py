@@ -38,6 +38,9 @@ def _pipeline_cfg(args) -> PipelineConfig:
         n_mels=args.n_mels,
         add_deltas=not args.no_deltas,
         use_energy=args.use_energy,
+        cmn=args.cmn,
+        feature_type=args.features,
+        lpc_order=args.lpc_order,
     )
     dtw = DtwConfig(band_frac=args.band, impl=args.dtw_impl)
     return PipelineConfig(
@@ -54,6 +57,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--max-samples", type=int, default=32000)
     p.add_argument("--no-deltas", action="store_true")
     p.add_argument("--use-energy", action="store_true")
+    p.add_argument("--cmn", action="store_true",
+                   help="per-utterance cepstral mean normalization")
+    p.add_argument("--features", choices=["mfcc", "lpcc"], default="mfcc")
+    p.add_argument("--lpc-order", type=int, default=12)
     p.add_argument("--no-vad", action="store_true")
     p.add_argument("--band", type=float, default=None,
                    help="Sakoe-Chiba band fraction (e.g. 0.2)")

@@ -41,6 +41,9 @@ class FrontendConfig:
     delta_width: int = 2           # +/- frames for delta regression
     add_deltas: bool = True        # append delta + delta-delta => 39-dim
     use_energy: bool = False       # replace c0 with log frame energy
+    cmn: bool = False              # per-utterance cepstral mean normalization
+    feature_type: str = "mfcc"     # "mfcc" | "lpcc"
+    lpc_order: int = 12            # LPC prediction order (feature_type="lpcc")
     log_floor: float = 1e-10
 
     @property

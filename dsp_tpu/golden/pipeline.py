@@ -21,10 +21,16 @@ from dsp_tpu.golden.dtw import classify as dtw_classify
 
 def extract_features(x: np.ndarray, pcfg: PipelineConfig = PipelineConfig()):
     """Signal -> (features [T', n_feats], T')."""
-    c = mfcc(x, pcfg.frontend)
+    if pcfg.frontend.feature_type == "lpcc":
+        from dsp_tpu.golden.lpc import lpcc
+        c = lpcc(x, pcfg.frontend)
+    else:
+        c = mfcc(x, pcfg.frontend)
     if pcfg.use_vad:
         s, e, _ = detect_endpoints(x, pcfg.frontend, pcfg.vad)
         c = c[s:e]
+    if pcfg.frontend.cmn and c.shape[0] > 0:
+        c = c - c.mean(axis=0, keepdims=True)
     if pcfg.frontend.add_deltas:
         d1 = deltas(c, pcfg.frontend.delta_width)
         d2 = deltas(d1, pcfg.frontend.delta_width)

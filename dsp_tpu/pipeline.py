@@ -36,7 +36,11 @@ def _extract_one(x: jax.Array, n_samples: jax.Array, mats: fe.FrontendMatrices,
     f = cfg.frontend
     t_max = cfg.max_frames
 
-    c = fe.mfcc(x, f, mats, use_fft=False, precision=precision)  # [T, C]
+    if f.feature_type == "lpcc":
+        from dsp_tpu.ops.lpc import lpcc
+        c = lpcc(x, f)                                           # [T, C]
+    else:
+        c = fe.mfcc(x, f, mats, use_fft=False, precision=precision)  # [T, C]
     n_frames = jnp.maximum(0, 1 + (n_samples - f.frame_len) // f.hop_len)
 
     if cfg.use_vad:
@@ -47,6 +51,10 @@ def _extract_one(x: jax.Array, n_samples: jax.Array, mats: fe.FrontendMatrices,
     length = jnp.maximum(end - start, 1)
     idx = jnp.clip(start + jnp.arange(t_max), 0, t_max - 1)
     c = jnp.take(c, idx, axis=0)                              # frames from VAD start
+    if f.cmn:
+        valid = (jnp.arange(t_max) < length)[:, None].astype(c.dtype)
+        mean = jnp.sum(c * valid, axis=0, keepdims=True) / length.astype(c.dtype)
+        c = c - mean
     feats = fe.add_deltas(c, f, length)
     feats = jnp.where((jnp.arange(t_max) < length)[:, None], feats, 0.0)
     return Features(feats, length)

@@ -88,3 +88,22 @@ def test_knn_vote_k3():
         rec.enroll(lab, [synth_word(lab, i) for i in range(3)])
     for lab in LABELS[:3]:
         assert rec.recognize(synth_word(lab, 200)) == lab
+
+
+def test_cmn_parity_and_recognition():
+    """Cepstral mean normalization: device == golden, recognition works."""
+    from dsp_tpu.config import FrontendConfig
+    cfg = PipelineConfig(frontend=FrontendConfig(cmn=True))
+    rec = KnnDtwRecognizer(cfg)
+    for lab in LABELS[:3]:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(2)])
+    x = synth_word("one", 42)
+    feats = rec.extract([x])
+    length = int(np.asarray(feats.length)[0])
+    got = np.asarray(feats.feats)[0, :length]
+    want, want_len = gpipe.extract_features(x, cfg)
+    assert length == want_len
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+    # normalized static cepstra have ~zero mean over valid frames
+    np.testing.assert_allclose(got[:, :13].mean(axis=0), 0.0, atol=1e-4)
+    assert rec.recognize(synth_word("two", 50)) == "two"
