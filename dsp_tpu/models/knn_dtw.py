@@ -117,10 +117,28 @@ class KnnDtwRecognizer:
         return self._sharded_bank
 
     # ------------------------------------------------------------ classify
-    def classify_batch(self, signals, return_distances: bool = False):
-        """List of signals -> list of labels (single device program)."""
+    def classify_batch(self, signals, return_distances: bool = False,
+                       chunk: int = 256):
+        """List of signals -> list of labels.
+
+        Large batches are processed in fixed-size chunks (padded to the
+        chunk size so only one program is compiled) to bound the [B, K,
+        T, U] DTW cost memory on device.
+        """
         if self.mesh is not None:
             return self._classify_sharded(signals, return_distances)
+        if len(signals) > chunk:
+            labels, dists = [], []
+            for lo in range(0, len(signals), chunk):
+                part = list(signals[lo:lo + chunk])
+                n_real = len(part)
+                part += [part[-1]] * (chunk - n_real)     # pad, same shapes
+                got = self.classify_batch(part, return_distances=True)
+                labels.extend(got[0][:n_real])
+                dists.append(got[1][:n_real])
+            if return_distances:
+                return labels, np.concatenate(dists)
+            return labels
         x, n = self._pad_signals(signals)
         bank, ids = self.device_bank()
         label_ids, dists = pl.recognize_batch(

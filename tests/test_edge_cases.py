@@ -81,3 +81,22 @@ def test_no_deltas_config_path():
     feats = rec.extract([synth_word("one", 1)])
     assert feats.feats.shape[-1] == 13
     assert rec.recognize(synth_word("one", 3)) == "one"
+
+
+def test_classify_batch_chunking_matches_unchunked(recognizer):
+    sigs = [synth_word(["zero", "one"][i % 2], 30 + i) for i in range(7)]
+    want = recognizer.classify_batch(sigs, chunk=256)
+    got = recognizer.classify_batch(sigs, chunk=3)
+    assert got == want == [["zero", "one"][i % 2] for i in range(7)]
+
+
+def test_profiling_helpers(tmp_path):
+    import jax.numpy as jnp
+    from dsp_tpu.utils import StageTimer, stage
+
+    timer = StageTimer()
+    with timer.time("mfcc"):
+        with stage("mfcc"):
+            _ = jnp.sum(jnp.ones((8, 8)))
+    rep = timer.report()
+    assert "mfcc" in rep and rep["mfcc"] >= 0.0
