@@ -113,6 +113,88 @@ def dtw_distance(a: jax.Array, b: jax.Array,
     return dtw_from_cost(cost, len_a, len_b)
 
 
+def dtw_distance_bidi(a: jax.Array, b: jax.Array,
+                      len_a: jax.Array, len_b: jax.Array,
+                      cfg: DtwConfig = DtwConfig(),
+                      precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """DTW via bidirectional (Hirschberg-split) row scans.
+
+    Every monotone warp path visits row m = len_a // 2, so
+
+        D = min_j ( F[m, j] + B[m, j] - cost[m, j] )
+
+    where F is the forward DP into (m, j) and B the backward DP from
+    (m, j) — itself a forward DP on the index-reversed sequences.  Both
+    half-depth scans run **stacked in the batch dimension of one scan**,
+    halving the scan trip count (the scan is per-iteration-overhead
+    bound on TPU; see docs/PERF.md).  Exact same result as dtw_distance.
+    """
+    t, f = a.shape
+    u = b.shape[0]
+    n_rows = t // 2 + 1
+    idx_n = jnp.arange(n_rows)
+    idx_u = jnp.arange(u)
+    m_f = len_a // 2
+    m_r = len_a - 1 - m_f                    # reversed row index of m_f
+
+    # Only rows < n_rows of each direction are ever used (m_f, m_r are
+    # both <= (len_a-1)//2 < n_rows), so the cost work and bytes equal
+    # the unidirectional scan.  vmap out_axes=1 lays the cost out as
+    # [n_rows, 2, U] so the scan slices its leading axis with NO relayout.
+    a2 = jnp.stack([
+        a[:n_rows],
+        jnp.take(a, jnp.clip(len_a - 1 - idx_n, 0, t - 1), axis=0),
+    ])                                       # [2, n_rows, F] (tiny)
+    b_rev = jnp.take(b, jnp.clip(len_b - 1 - idx_u, 0, u - 1), axis=0)
+    b2 = jnp.stack([b, b_rev])               # [2, U, F]
+    cost2 = jax.vmap(
+        lambda x, y: masked_cost(x, y, len_a, len_b, cfg, precision),
+        in_axes=0, out_axes=1,
+    )(a2, b2)                                # [n_rows, 2, U]
+
+    m2 = jnp.stack([m_f, m_r])               # [2]
+
+    def row_step(carry, inp):
+        d_prev, kept = carry                 # [2, U] each
+        c_row, i = inp                       # [2, U], scalar
+        start_val = jnp.where(i == 0, 0.0, BIG).astype(cost2.dtype)
+        col0 = jnp.broadcast_to(start_val, d_prev[..., :1].shape)
+        shifted = jnp.concatenate([col0, d_prev[..., :-1]], axis=-1)
+        acc = jnp.minimum(d_prev, shifted) + c_row
+        d_row, _ = jax.lax.associative_scan(
+            _minplus_combine, (acc, c_row), axis=-1)
+        kept = jnp.where((i == m2)[..., None], d_row, kept)
+        return (d_row, kept), None
+
+    init = (jnp.full((2, u), BIG, cost2.dtype) + 0 * cost2[0],
+            jnp.full((2, u), BIG, cost2.dtype) + 0 * cost2[0])
+    (_, kept), _ = jax.lax.scan(row_step, init, (cost2, idx_n))
+
+    f_row = kept[0]
+    # align the backward row: B[m_f, j] = F_rev[m_r, len_b-1-j]
+    b_row = jnp.take(kept[1], jnp.clip(len_b - 1 - idx_u, 0, u - 1))
+    c_row = jnp.take(cost2[:, 0], jnp.clip(m_f, 0, n_rows - 1), axis=0)
+    comb = f_row + b_row - c_row
+    # columns >= len_b hold BIG+finite-BIG == 0 in f32 — mask them out
+    total = jnp.min(jnp.where(idx_u < len_b, comb, BIG))
+    return total / (len_a + len_b).astype(a.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def dtw_batch_bidi(queries: jax.Array, q_lens: jax.Array,
+                   bank: jax.Array, bank_lens: jax.Array,
+                   cfg: DtwConfig = DtwConfig(),
+                   precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """All-pairs DTW with the bidirectional half-depth scan."""
+
+    def one(q, ql, tmpl, tl):
+        return dtw_distance_bidi(q, tmpl, ql, tl, cfg, precision)
+
+    per_template = jax.vmap(one, in_axes=(None, None, 0, 0))
+    per_query = jax.vmap(per_template, in_axes=(0, 0, None, None))
+    return per_query(queries, q_lens, bank, bank_lens)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "precision"))
 def dtw_batch(queries: jax.Array, q_lens: jax.Array,
               bank: jax.Array, bank_lens: jax.Array,

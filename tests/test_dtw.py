@@ -83,3 +83,32 @@ def test_dtw_identity_zero_and_symmetry():
     np.testing.assert_allclose(
         float(jdtw.dtw_distance(jnp.asarray(a), jnp.asarray(b))),
         float(jdtw.dtw_distance(jnp.asarray(b), jnp.asarray(a))), rtol=1e-6)
+
+
+def test_dtw_bidi_exhaustive_tiny():
+    """Bidirectional (Hirschberg-split) DTW == golden on all tiny shapes."""
+    rng = np.random.default_rng(7)
+    for ta in range(1, 9):
+        for tb in range(1, 9):
+            a = rng.standard_normal((8, 3)).astype(np.float32)
+            b = rng.standard_normal((8, 3)).astype(np.float32)
+            want = golden.dtw_distance(a[:ta], b[:tb])
+            got = float(jdtw.dtw_distance_bidi(
+                jnp.asarray(a), jnp.asarray(b),
+                jnp.asarray(ta), jnp.asarray(tb)))
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
+                                       err_msg=f"{ta},{tb}")
+
+
+def test_dtw_bidi_batch_matches_scan():
+    rng = np.random.default_rng(8)
+    B, K, T, U, F = 3, 4, 25, 31, 13
+    q = rng.standard_normal((B, T, F)).astype(np.float32)
+    bank = rng.standard_normal((K, U, F)).astype(np.float32)
+    ql = rng.integers(1, T + 1, size=B).astype(np.int32)
+    bl = rng.integers(1, U + 1, size=K).astype(np.int32)
+    want = np.asarray(jdtw.dtw_batch(jnp.asarray(q), jnp.asarray(ql),
+                                     jnp.asarray(bank), jnp.asarray(bl)))
+    got = np.asarray(jdtw.dtw_batch_bidi(jnp.asarray(q), jnp.asarray(ql),
+                                         jnp.asarray(bank), jnp.asarray(bl)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
