@@ -106,6 +106,7 @@ class HmmConfig:
     var_floor: float = 1e-3
     n_iter: int = 10
     seed: int = 0
+    train_mode: str = "viterbi"    # "viterbi" (segmental) | "baum_welch" (soft EM)
 
 
 @dataclasses.dataclass(frozen=True)

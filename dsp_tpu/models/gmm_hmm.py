@@ -215,11 +215,96 @@ def em_suff_stats(feats: jax.Array, lengths: jax.Array, params: HmmParams,
     return SuffStats(tot, sx, sxx, stay_cnt, trans_cnt, loglik)
 
 
+def _forward_backward(log_pi, log_a, log_b, length):
+    """Log-space alphas/betas for one sequence (log_b [T, S], masked).
+
+    alpha[t] is carried through unchanged for t >= length; beta is 0 at
+    t == length-1 and NEG_INF beyond, so gamma is valid on [0, length).
+    Returns (alpha [T,S], beta [T,S], loglik).
+    """
+    t_len, s = log_b.shape
+    ts = jnp.arange(t_len)
+
+    def fwd(alpha, inp):
+        emit, ti = inp
+        new = jax.nn.logsumexp(alpha[:, None] + log_a, axis=0) + emit
+        new = jnp.where(ti < length, new, alpha)
+        return new, new
+
+    alpha0 = log_pi + log_b[0]
+    _, alphas = jax.lax.scan(fwd, alpha0, (log_b[1:], ts[1:]))
+    alphas = jnp.concatenate([alpha0[None], alphas])
+    # loglik read at the true last frame
+    loglik = jax.nn.logsumexp(alphas[jnp.clip(length - 1, 0, t_len - 1)])
+
+    def bwd(beta_next, inp):
+        emit_next, ti = inp           # emission at ti+1, computing beta[ti]
+        cand = jax.nn.logsumexp(log_a + (emit_next + beta_next)[None, :],
+                                axis=1)
+        beta = jnp.where(ti == length - 1, 0.0,
+                         jnp.where(ti < length - 1, cand, NEG_INF))
+        return beta, beta
+
+    beta_last = jnp.where(t_len - 1 == length - 1, 0.0, NEG_INF) * jnp.ones(s)
+    _, betas_rev = jax.lax.scan(bwd, beta_last, (log_b[1:], ts[:-1]),
+                                reverse=True)
+    betas = jnp.concatenate([betas_rev, beta_last[None]])
+    return alphas, betas, loglik
+
+
+def em_suff_stats_soft(feats: jax.Array, lengths: jax.Array, params: HmmParams,
+                       cfg: HmmConfig) -> SuffStats:
+    """Baum-Welch E-step: forward-backward occupancies instead of a hard
+    Viterbi alignment; same additive SuffStats (so the distributed psum
+    path and the closed-form M-step are shared with segmental training)."""
+    n, t, f = feats.shape
+    s = cfg.n_states
+    valid = jnp.arange(t)[None, :] < lengths[:, None]
+    logb = emission_logb(feats, params)                           # [N, T, S]
+
+    alphas, betas, logliks = jax.vmap(
+        lambda lb, L: _forward_backward(params.log_pi, params.log_a, lb, L)
+    )(logb, lengths)                                              # [N,T,S] x2, [N]
+
+    log_gamma = alphas + betas - logliks[:, None, None]
+    gamma = jnp.exp(jnp.minimum(log_gamma, 0.0)) * valid[..., None]  # [N,T,S]
+    tot, sx, sxx = _gmm_stats(feats, valid, gamma, params, cfg)
+
+    # transition occupancies (left-to-right: stay vs advance)
+    pair_valid = (valid[:, :-1] & valid[:, 1:]).astype(jnp.float32)
+
+    def xi_counts(which):
+        # which = 0: stay (s->s); 1: advance (s->s+1)
+        if which == 0:
+            a_diag = jnp.diagonal(params.log_a)                   # [S]
+            src = alphas[:, :-1]                                  # [N,T-1,S]
+            dst = (logb[:, 1:] + betas[:, 1:])                    # [N,T-1,S]
+            lx = src + a_diag + dst - logliks[:, None, None]
+        else:
+            a_up = jnp.diagonal(params.log_a, offset=1)           # [S-1]
+            src = alphas[:, :-1, :-1]
+            dst = (logb[:, 1:, 1:] + betas[:, 1:, 1:])
+            lx = src + a_up + dst - logliks[:, None, None]
+            lx = jnp.pad(lx, ((0, 0), (0, 0), (0, 1)),
+                         constant_values=NEG_INF)
+        x = jnp.exp(jnp.minimum(lx, 0.0)) * pair_valid[..., None]
+        return x.sum((0, 1))                                      # [S]
+
+    stay_cnt = xi_counts(0)
+    adv_cnt = xi_counts(1)
+    return SuffStats(tot, sx, sxx, stay_cnt, stay_cnt + adv_cnt,
+                     jnp.sum(logliks))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _em_iteration(feats: jax.Array, lengths: jax.Array, params: HmmParams,
                   cfg: HmmConfig):
-    """One segmental-EM iteration for one word's utterances [N, T, F]."""
-    stats = em_suff_stats(feats, lengths, params, cfg)
+    """One EM iteration for one word's utterances [N, T, F]; the E-step is
+    segmental (Viterbi) or Baum-Welch per cfg.train_mode."""
+    if cfg.train_mode == "baum_welch":
+        stats = em_suff_stats_soft(feats, lengths, params, cfg)
+    else:
+        stats = em_suff_stats(feats, lengths, params, cfg)
     return _params_from_stats(stats, params, cfg), stats.loglik
 
 

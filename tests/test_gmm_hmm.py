@@ -127,3 +127,53 @@ def test_sharded_em_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
             rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_forward_backward_consistency():
+    """sum_s alpha[t,s]+beta[t,s] == loglik at every valid t; gamma sums to 1."""
+    import jax
+    rng = np.random.default_rng(10)
+    s, t, L = 4, 12, 9
+    log_pi = np.log(rng.dirichlet(np.ones(s))).astype(np.float32)
+    log_a = np.log(rng.dirichlet(np.ones(s), size=s)).astype(np.float32)
+    log_b = rng.standard_normal((t, s)).astype(np.float32)
+    alphas, betas, ll = gh._forward_backward(
+        jnp.asarray(log_pi), jnp.asarray(log_a), jnp.asarray(log_b),
+        jnp.asarray(L))
+    alphas, betas = np.asarray(alphas), np.asarray(betas)
+    # parity with the golden forward algorithm on the truncated sequence
+    want_ll = float(__import__("dsp_tpu.golden.hmm", fromlist=["forward_log"])
+                    .forward_log(log_pi.astype(np.float64),
+                                 log_a.astype(np.float64),
+                                 log_b[:L].astype(np.float64)))
+    np.testing.assert_allclose(float(ll), want_ll, rtol=1e-4)
+    for ti in range(L):
+        tot = np.logaddexp.reduce(alphas[ti] + betas[ti])
+        np.testing.assert_allclose(tot, float(ll), rtol=1e-4)
+        gamma = np.exp(alphas[ti] + betas[ti] - float(ll))
+        np.testing.assert_allclose(gamma.sum(), 1.0, rtol=1e-4)
+
+
+def test_baum_welch_increases_likelihood_and_recognizes():
+    labels = ["zero", "one", "two"]
+    from dsp_tpu.io.dataset import make_corpus
+    cfg_bw = HmmConfig(n_states=4, n_mix=2, n_iter=5, train_mode="baum_welch")
+    train = make_corpus(labels, n_per_word=5, seed=0)
+    from dsp_tpu.config import PipelineConfig
+    rec = gh.GmmHmmRecognizer(PipelineConfig(), cfg_bw)
+
+    # likelihood monotonicity on one word
+    feats = rec.extract(train["zero"])
+    import jax
+    params = gh.init_params(feats.feats, feats.length, cfg_bw,
+                            jax.random.PRNGKey(0))
+    lls = []
+    for _ in range(5):
+        params, ll = gh._em_iteration(feats.feats, feats.length, params, cfg_bw)
+        lls.append(float(ll))
+    assert lls[-1] > lls[0]
+    assert np.isfinite(lls).all()
+
+    rec.fit(train)
+    test = {lab: make_corpus([lab], 2, seed=50)[lab] for lab in labels}
+    assert rec.evaluate(test)["accuracy"] >= 5 / 6
