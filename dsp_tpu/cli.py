@@ -68,6 +68,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--k", type=int, default=1, help="kNN votes")
     p.add_argument("--metrics-out", default=None,
                    help="write run metrics JSON to this path")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the template bank over all local devices")
 
 
 def _load_corpus(path: str, sr: int):
@@ -122,7 +124,15 @@ def cmd_recognize(args):
 def cmd_evaluate(args):
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
     cfg = _pipeline_cfg(args)
+    mesh = None
+    if args.mesh:
+        import jax
+        from dsp_tpu import parallel as par
+        if len(jax.devices()) > 1:
+            mesh = par.make_mesh()
+            log.info("evaluating on a %s mesh", dict(mesh.shape))
     rec = KnnDtwRecognizer.load(args.bank, cfg)
+    rec.mesh = mesh
     corpus = _load_corpus(args.corpus, args.sr)
     metrics = RunMetrics("evaluate")
     result = rec.evaluate(corpus)

@@ -47,3 +47,8 @@ __all__ = [
     "viterbi_log",
     "forward_log",
 ]
+
+from dsp_tpu.golden.lpc import lpcc as lpcc_golden  # noqa: E402
+from dsp_tpu.golden import lpc  # noqa: E402
+
+__all__ += ["lpcc_golden", "lpc"]

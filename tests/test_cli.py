@@ -79,3 +79,14 @@ def test_plot_command(corpus_dir, tmp_path):
               "--bank", bank])
     cli.main(["plot", "--word", "one", "--bank", bank, "--out", out])
     assert os.path.getsize(out) > 10000   # a real PNG was rendered
+
+
+def test_evaluate_with_mesh_flag(corpus_dir, tmp_path, capsys):
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    cli.main(["evaluate", "--corpus", os.path.join(corpus_dir, "test"),
+              "--bank", bank, "--mesh"])
+    out = capsys.readouterr().out
+    acc = float(out.rsplit("accuracy:", 1)[1].split("(")[0])
+    assert acc >= 0.8
