@@ -20,12 +20,12 @@ k == len_a+len_b-2 picks the step, so ragged lengths cost nothing.
 
 Parity oracles: dsp_tpu/golden/dtw.py (loops) and ops/dtw.py (scan).
 
-Performance status (TPU v5e, 12,800 pairs T=U=198 F=39, measured through
-the relay so +/-40% noise): kernel sweep ~10-20 ms, but the XLA-side
-diagonal skew gather costs ~100 ms, making the total slower than the XLA
-min-plus scan (ops/dtw.py, ~48 ms).  The scan stays the default
-production path; the planned fix is an in-VMEM roll-based skew kernel
-(read 2 GB + write 5 GB instead of a 1.3G-element gather).
+Performance status (TPU v5e, 12,800 pairs T=U=198 F=39, relay noise
++/-30%): the kernel alone runs ~39 ms on pre-skewed input, but producing
+the skewed tensor in XLA costs another ~80 ms (data-movement ops run at
+7-25% of HBM peak on this chip — docs/PERF.md), so the total trails the
+XLA min-plus scan (~48 ms), which stays the default.  The round-2 plan
+is a fused banded kernel that never materialises cost in HBM.
 """
 
 from __future__ import annotations
@@ -50,26 +50,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.lru_cache(maxsize=32)
-def _skew_index(t: int, u: int):
-    """Flat gather indices + validity mask for the diagonal skew."""
-    d = t + u - 1
-    k = np.arange(d)[:, None]
-    i = np.arange(t)[None, :]
-    j = k - i
-    valid = (j >= 0) & (j < u)
-    flat = np.where(valid, i * u + np.clip(j, 0, u - 1), 0).astype(np.int32)
-    return flat.reshape(-1), valid
-
-
 def skew_cost(cost: jax.Array, big: float = BIG) -> jax.Array:
-    """[..., T, U] -> [..., T+U-1, T] with skew[..., k, i] = cost[..., i, k-i]."""
+    """[..., T, U] -> [..., T+U-1, T] with skew[..., k, i] = cost[..., i, k-i].
+
+    Gather-free: pad each row by T (BIG), then reinterpreting the flat
+    buffer with row stride U+T-1 shifts row i right by i (the classic
+    stride trick); transposing yields the diagonal-major layout.  All
+    out-of-range cells land on BIG pad automatically.
+    """
     t, u = cost.shape[-2:]
-    flat_idx, valid = _skew_index(t, u)
-    flat = cost.reshape(*cost.shape[:-2], t * u)
-    out = jnp.take(flat, jnp.asarray(flat_idx), axis=-1)
-    out = out.reshape(*cost.shape[:-2], t + u - 1, t)
-    return jnp.where(jnp.asarray(valid), out, big)
+    lead = cost.shape[:-2]
+    a = jnp.pad(cost, [(0, 0)] * len(lead) + [(0, 0), (0, t)],
+                constant_values=big)
+    flat = a.reshape(*lead, t * (u + t))[..., : t * (u + t - 1)]
+    c = flat.reshape(*lead, t, u + t - 1)
+    return jnp.swapaxes(c, -1, -2)
 
 
 def _dtw_kernel(cost_ref, onehot_ref, ktarget_ref, out_ref, d1, d2, acc):
