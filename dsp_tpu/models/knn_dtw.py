@@ -31,12 +31,16 @@ class KnnDtwRecognizer:
     """
 
     def __init__(self, cfg: PipelineConfig = PipelineConfig(), k: int = 1,
-                 mesh=None):
+                 mesh=None, matcher: str = "dtw", ltw_len: int = 64):
         if mesh is not None and k > 1:
             raise ValueError("mesh-sharded classification supports k=1 only")
+        if matcher not in ("dtw", "ltw"):
+            raise ValueError(f"unknown matcher: {matcher}")
         self.cfg = cfg
         self.k = k
         self.mesh = mesh
+        self.matcher = matcher          # 'ltw' = linear-time-warp fast path
+        self.ltw_len = ltw_len
         self.mats = fe.make_matrices(cfg.frontend)
         self.labels: list[str] = []          # label id -> string
         self._bank_feats: list[np.ndarray] = []   # [U_max, F] each
@@ -141,9 +145,15 @@ class KnnDtwRecognizer:
             return labels
         x, n = self._pad_signals(signals)
         bank, ids = self.device_bank()
-        label_ids, dists = pl.recognize_batch(
-            x, n, self.mats, bank, ids, self.cfg) if self.k <= 1 else (
-            self._classify_knn(x, n, bank, ids))
+        if self.matcher == "ltw":
+            feats = pl.extract_features(x, n, self.mats, self.cfg)
+            label_ids, dists = pl.classify_features_ltw(
+                feats, bank, ids, self.ltw_len)
+        elif self.k <= 1:
+            label_ids, dists = pl.recognize_batch(
+                x, n, self.mats, bank, ids, self.cfg)
+        else:
+            label_ids, dists = self._classify_knn(x, n, bank, ids)
         labels = [self.labels[int(i)] for i in np.asarray(label_ids)]
         if return_distances:
             return labels, np.asarray(dists)

@@ -104,6 +104,32 @@ def classify_features(feats: Features, bank: Features, bank_label_ids: jax.Array
     return jnp.argmax(score, axis=-1), dists
 
 
+@functools.partial(jax.jit, static_argnames=("target_len", "precision"))
+def classify_features_ltw(feats: Features, bank: Features,
+                          bank_label_ids: jax.Array,
+                          target_len: int = 64,
+                          precision=jax.lax.Precision.HIGHEST):
+    """Linear-time-warp matching: resample to ``target_len`` frames, then
+    the whole bank comparison is ONE [B, L*F] @ [L*F, K] MXU matmul
+    (squared-Euclidean expansion) — the classical fast baseline matcher,
+    ~two orders of magnitude cheaper than DTW.
+    Returns (label_ids [B], distances [B, K])."""
+    from dsp_tpu.ops.frontend import time_normalize
+
+    q = jax.vmap(lambda f, l: time_normalize(f, l, target_len))(
+        feats.feats, feats.length)                      # [B, L, F]
+    t = jax.vmap(lambda f, l: time_normalize(f, l, target_len))(
+        bank.feats, bank.length)                        # [K, L, F]
+    bsz, l, f = q.shape
+    qf = q.reshape(bsz, l * f)
+    tf = t.reshape(t.shape[0], l * f)
+    cross = jnp.matmul(qf, tf.T, precision=precision)
+    d = (jnp.sum(qf * qf, axis=-1, keepdims=True)
+         + jnp.sum(tf * tf, axis=-1)[None, :] - 2.0 * cross) / (l * f)
+    d = jnp.maximum(d, 0.0)
+    return jnp.take(bank_label_ids, jnp.argmin(d, axis=-1)), d
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "precision"))
 def recognize_batch(signals: jax.Array, n_samples: jax.Array,
                     mats: fe.FrontendMatrices,

@@ -1,0 +1,59 @@
+"""Linear time normalization + LTW fast matcher tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsp_tpu.config import PipelineConfig
+from dsp_tpu.io.dataset import synth_word
+from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+from dsp_tpu.ops.frontend import time_normalize
+
+
+def test_time_normalize_matches_interp():
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((20, 5)).astype(np.float32)
+    length, target = 13, 8
+    got = np.asarray(time_normalize(jnp.asarray(feats), jnp.asarray(length),
+                                    target))
+    pos = np.linspace(0, length - 1, target)
+    for col in range(5):
+        want = np.interp(pos, np.arange(20), feats[:, col])
+        np.testing.assert_allclose(got[:, col], want, rtol=1e-5, atol=1e-6)
+
+
+def test_time_normalize_identity():
+    """length == target_len and integer grid -> exact copy."""
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((16, 4)).astype(np.float32)
+    got = np.asarray(time_normalize(jnp.asarray(feats), jnp.asarray(16), 16))
+    np.testing.assert_allclose(got, feats, rtol=1e-6)
+
+
+def test_time_normalize_single_frame():
+    feats = jnp.ones((10, 3))
+    got = np.asarray(time_normalize(feats, jnp.asarray(1), 8))
+    np.testing.assert_allclose(got, 1.0)
+
+
+def test_ltw_recognizer_accuracy():
+    labels = ["zero", "one", "two", "three"]
+    rec = KnnDtwRecognizer(PipelineConfig(), matcher="ltw")
+    for lab in labels:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(3)])
+    test = {lab: [synth_word(lab, 100 + i) for i in range(3)] for lab in labels}
+    result = rec.evaluate(test)
+    assert result["accuracy"] >= 10 / 12   # fast path trades a little accuracy
+
+
+def test_ltw_distances_shape_and_self_similarity():
+    rec = KnnDtwRecognizer(PipelineConfig(), matcher="ltw")
+    rec.enroll("zero", [synth_word("zero", 0)])
+    rec.enroll("one", [synth_word("one", 0)])
+    labels, d = rec.classify_batch([synth_word("zero", 0)],
+                                   return_distances=True)
+    assert labels == ["zero"]
+    assert d.shape == (1, 2)
+    assert d[0, 0] < d[0, 1]
+    assert d[0, 0] < 1e-3   # ~zero up to matmul-expansion f32 cancellation
