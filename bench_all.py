@@ -140,6 +140,18 @@ def main():
          value=round(B * int(bank35.feats.shape[0]) / dt, 1),
          unit="alignments/s/chip (synthetic 35-class)")
 
+    # ---- bonus: linear-time-warp fast matcher ------------------------------
+    @jax.jit
+    def ltw(x, token):
+        f = pl.extract_features(token_mix(x, token), nb, mats, cfg)
+        labels, _ = pl.classify_features_ltw(f, bank100, ids100, 64)
+        return labels
+
+    dt = chained_timeit(ltw, (xb,), n_iters=16)
+    emit(config="ltw", metric="ltw_comparisons_per_sec_per_chip",
+         value=round(B * 100 / dt, 1),
+         unit="comparisons/s/chip (fast matcher)")
+
 
 if __name__ == "__main__":
     main()
