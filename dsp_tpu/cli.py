@@ -64,7 +64,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--no-vad", action="store_true")
     p.add_argument("--band", type=float, default=None,
                    help="Sakoe-Chiba band fraction (e.g. 0.2)")
-    p.add_argument("--dtw-impl", choices=["scan", "pallas"], default="scan")
+    p.add_argument("--dtw-impl", choices=["scan", "pallas", "fused"], default="scan")
     p.add_argument("--k", type=int, default=1, help="kNN votes")
     p.add_argument("--metrics-out", default=None,
                    help="write run metrics JSON to this path")

@@ -94,7 +94,7 @@ class DtwConfig:
     band_frac: Optional[float] = None  # Sakoe-Chiba band as fraction of max(T,U); None = full
     squared: bool = False              # use squared Euclidean local cost
     big: float = 1e30                  # finite "infinity" for masked cells
-    impl: str = "scan"                 # "scan" (XLA min-plus) | "pallas" (wavefront kernel)
+    impl: str = "scan"                 # "scan" (XLA) | "pallas" (wavefront) | "fused" (no HBM cost)
 
 
 @dataclasses.dataclass(frozen=True)

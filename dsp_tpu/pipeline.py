@@ -85,6 +85,10 @@ def classify_features(feats: Features, bank: Features, bank_label_ids: jax.Array
         from dsp_tpu.kernels.dtw_pallas import dtw_batch_pallas
         dists = dtw_batch_pallas(feats.feats, feats.length,
                                  bank.feats, bank.length, cfg.dtw, precision)
+    elif cfg.dtw.impl == "fused":
+        from dsp_tpu.kernels.dtw_fused import dtw_batch_fused
+        dists = dtw_batch_fused(feats.feats, feats.length,
+                                bank.feats, bank.length, cfg.dtw)
     else:
         dists = jdtw.dtw_batch(feats.feats, feats.length,
                                bank.feats, bank.length, cfg.dtw, precision)

@@ -80,3 +80,29 @@ def test_kernel_pair_tile_padding():
     for p in range(3):
         want = golden.dtw_distance(a[p, :la[p]], b[p, :lb[p]])
         np.testing.assert_allclose(got[p], want, rtol=1e-5)
+
+
+def test_fused_kernel_matches_scan():
+    """Fully fused DTW kernel (interpret mode) == scan DTW, ragged shapes."""
+    from dsp_tpu.kernels.dtw_fused import dtw_batch_fused
+    rng = np.random.default_rng(11)
+    for (B, K, T, U, F) in [(5, 3, 25, 31, 13), (3, 2, 40, 40, 8),
+                            (2, 4, 9, 126, 5)]:
+        q = rng.standard_normal((B, T, F)).astype(np.float32)
+        bank = rng.standard_normal((K, U, F)).astype(np.float32)
+        ql = rng.integers(1, T + 1, size=B).astype(np.int32)
+        bl = rng.integers(1, U + 1, size=K).astype(np.int32)
+        want = np.asarray(jdtw.dtw_batch(jnp.asarray(q), jnp.asarray(ql),
+                                         jnp.asarray(bank), jnp.asarray(bl)))
+        got = np.asarray(dtw_batch_fused(jnp.asarray(q), jnp.asarray(ql),
+                                         jnp.asarray(bank), jnp.asarray(bl),
+                                         interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_kernel_rejects_band():
+    from dsp_tpu.kernels.dtw_fused import dtw_batch_fused
+    with pytest.raises(ValueError, match="unbanded"):
+        dtw_batch_fused(jnp.zeros((2, 8, 3)), jnp.full(2, 8),
+                        jnp.zeros((2, 8, 3)), jnp.full(2, 8),
+                        DtwConfig(band_frac=0.2), interpret=True)
