@@ -56,6 +56,15 @@ def main():
 
     stage("knn-dtw (scan)", lambda: knn("scan"))
     stage("knn-dtw (pallas kernel)", lambda: knn("pallas"))
+    stage("knn-dtw (fused kernel)", lambda: knn("fused"))
+
+    def ltw():
+        rec = KnnDtwRecognizer(PipelineConfig(), matcher="ltw")
+        for lab in labels:
+            rec.enroll(lab, train[lab])
+        return rec.evaluate(test)["accuracy"]
+
+    stage("knn-ltw (fast matcher)", ltw, expect=5 / 6)
 
     def lpcc():
         rec = KnnDtwRecognizer(
