@@ -26,3 +26,11 @@ __all__ = [
 from dsp_tpu.ops.align import dtw_alignment, dba_average, medoid  # noqa: E402
 
 __all__ += ["dtw_alignment", "dba_average", "medoid"]
+
+from dsp_tpu.ops.dtw import dtw_batch_bidi, dtw_distance_bidi  # noqa: E402
+from dsp_tpu.ops.dtw_banded import dtw_batch_windowed, window_for_band  # noqa: E402
+from dsp_tpu.ops.frontend import time_normalize  # noqa: E402
+from dsp_tpu.ops.lpc import lpcc  # noqa: E402
+
+__all__ += ["dtw_batch_bidi", "dtw_distance_bidi", "dtw_batch_windowed",
+            "window_for_band", "time_normalize", "lpcc"]
