@@ -178,3 +178,30 @@ def process_chunk(state: StreamState, chunk: jax.Array,
     out = ChunkOutput(mfcc, e, z, frame_valid, in_speech,
                       utt_end, utt_start_idx, utt_end_idx)
     return new_state, out
+
+
+def init_state_batch(n_streams: int, cfg: FrontendConfig,
+                     chunk_len: int) -> StreamState:
+    """Stacked carry for ``n_streams`` concurrent streams."""
+    one = init_state(cfg, chunk_len)
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (n_streams, *a.shape)).copy(), one)
+
+
+@functools.partial(jax.jit, static_argnames=("fcfg", "vcfg", "chunk_len"))
+def process_chunk_batch(state: StreamState, chunks: jax.Array,
+                        mats: fe.FrontendMatrices,
+                        fcfg: FrontendConfig = FrontendConfig(),
+                        vcfg: VadConfig = VadConfig(),
+                        chunk_len: int = 1600):
+    """Serving-density variant: S concurrent streams in ONE device program.
+
+    ``state`` is a stacked StreamState (init_state_batch) and ``chunks``
+    is [S, chunk_len]; every stream advances one chunk per call (vmapped
+    front-end + VAD state machines).  Streams are independent — a server
+    multiplexes many live sessions through one jit dispatch instead of S.
+    """
+    def one(st, ck):
+        return process_chunk(st, ck, mats, fcfg, vcfg, chunk_len)
+
+    return jax.vmap(one)(state, chunks)

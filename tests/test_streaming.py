@@ -107,3 +107,47 @@ def test_streaming_recognizer_two_words():
     events += stream.flush()
     got = [e[0] for e in events]
     assert got == ["zero", "two"], events
+
+
+def test_batched_streams_match_individual():
+    """S concurrent streams in one call == S independent streams."""
+    import jax
+    rng = np.random.default_rng(9)
+    S, n_chunks = 4, 8
+    mats = fe.make_matrices(FCFG)
+    sigs = []
+    for s in range(S):
+        x = (0.002 * rng.standard_normal(CHUNK * n_chunks)).astype(np.float32)
+        w = synth_word(["zero", "one", "two", "three"][s], 10 + s,
+                       max_samples=8000)
+        x[2000:2000 + len(w)] += w
+        sigs.append(x)
+    sigs = np.stack(sigs)
+
+    # individual
+    indiv = []
+    for s in range(S):
+        state = st.init_state(FCFG, CHUNK)
+        outs = []
+        for c in range(n_chunks):
+            state, out = st.process_chunk(
+                state, jnp.asarray(sigs[s, c * CHUNK:(c + 1) * CHUNK]),
+                mats, FCFG, VCFG, CHUNK)
+            outs.append(out)
+        indiv.append(outs)
+
+    # batched
+    bstate = st.init_state_batch(S, FCFG, CHUNK)
+    for c in range(n_chunks):
+        bstate, bout = st.process_chunk_batch(
+            bstate, jnp.asarray(sigs[:, c * CHUNK:(c + 1) * CHUNK]),
+            mats, FCFG, VCFG, CHUNK)
+        for s in range(S):
+            np.testing.assert_allclose(
+                np.asarray(bout.mfcc[s]), np.asarray(indiv[s][c].mfcc),
+                rtol=1e-4, atol=1e-4)
+            np.testing.assert_array_equal(
+                np.asarray(bout.in_speech[s]),
+                np.asarray(indiv[s][c].in_speech), err_msg=f"s={s} c={c}")
+            np.testing.assert_array_equal(
+                np.asarray(bout.utt_end[s]), np.asarray(indiv[s][c].utt_end))
