@@ -336,14 +336,7 @@ class GmmHmmRecognizer:
         self.params: HmmParams | None = None   # stacked [W, ...]
 
     def _pad_signals(self, signals):
-        msamp = self.cfg.max_samples
-        out = np.zeros((len(signals), msamp), dtype=np.float32)
-        lens = np.zeros(len(signals), dtype=np.int32)
-        for i, s in enumerate(signals):
-            s = np.asarray(s, dtype=np.float32)[:msamp]
-            out[i, : len(s)] = s
-            lens[i] = len(s)
-        return jnp.asarray(out), jnp.asarray(lens)
+        return pl.pad_signals(signals, self.cfg.max_samples)
 
     def extract(self, signals) -> pl.Features:
         x, n = self._pad_signals(signals)

@@ -51,14 +51,7 @@ class KnnDtwRecognizer:
 
     # ------------------------------------------------------------- enroll
     def _pad_signals(self, signals):
-        m = self.cfg.max_samples
-        out = np.zeros((len(signals), m), dtype=np.float32)
-        lens = np.zeros(len(signals), dtype=np.int32)
-        for i, s in enumerate(signals):
-            s = np.asarray(s, dtype=np.float32)[:m]
-            out[i, : len(s)] = s
-            lens[i] = len(s)
-        return jnp.asarray(out), jnp.asarray(lens)
+        return pl.pad_signals(signals, self.cfg.max_samples)
 
     def extract(self, signals) -> pl.Features:
         """Host list of signals -> device Features (one jit call)."""

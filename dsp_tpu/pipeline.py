@@ -30,6 +30,19 @@ class Features(NamedTuple):
     length: jax.Array   # [...] valid frame count
 
 
+def pad_signals(signals, max_samples: int):
+    """Host list of 1-D signals -> (padded [B, max_samples] f32, lengths [B])."""
+    import numpy as np
+
+    out = np.zeros((len(signals), max_samples), dtype=np.float32)
+    lens = np.zeros(len(signals), dtype=np.int32)
+    for i, s in enumerate(signals):
+        s = np.asarray(s, dtype=np.float32)[:max_samples]
+        out[i, : len(s)] = s
+        lens[i] = len(s)
+    return jnp.asarray(out), jnp.asarray(lens)
+
+
 def _extract_one(x: jax.Array, n_samples: jax.Array, mats: fe.FrontendMatrices,
                  cfg: PipelineConfig, precision) -> Features:
     """Single padded signal [max_samples] -> trimmed, masked features."""
