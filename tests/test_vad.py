@@ -77,3 +77,33 @@ def test_vad_batched_vmap():
     for i, x in enumerate(cases):
         want = golden.detect_endpoints(x, FCFG, VCFG)
         assert (int(s[i]), int(e[i]), bool(f[i])) == want
+
+
+def test_vad_degenerate_lengths():
+    """Valid regions of 0 or 1 frames must not crash or mis-index."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray((0.3 * rng.standard_normal(32000)).astype(np.float32))
+    # shorter than one frame -> zero valid frames
+    s, e, f = jvad.detect_endpoints(x, FCFG, VCFG, length_samples=jnp.asarray(100))
+    assert (int(s), int(e), bool(f)) == (0, 0, False)
+    # exactly one valid frame
+    s, e, f = jvad.detect_endpoints(x, FCFG, VCFG, length_samples=jnp.asarray(400))
+    assert int(e) <= 1 and int(s) == 0
+    # loud single frame cannot satisfy min_speech_frames -> not found
+    assert not bool(f)
+
+
+def test_vad_short_burst_parity():
+    """Short bursts around the min_speech_frames boundary: exact parity.
+
+    (A 480-sample burst still overlaps ~5 frames partially, so whether it
+    triggers is threshold-sensitive — the invariant is jax == golden.)"""
+    rng = np.random.default_rng(6)
+    for n_burst in (180, 480, 900):
+        x = 0.001 * rng.standard_normal(16000)
+        x[8000:8000 + n_burst] += 0.5 * np.sin(
+            2 * np.pi * 400 * np.arange(n_burst) / 16000)
+        want = golden.detect_endpoints(x.astype(np.float32), FCFG, VCFG)
+        s, e, f = jvad.detect_endpoints(jnp.asarray(x, dtype=jnp.float32),
+                                        FCFG, VCFG)
+        assert (int(s), int(e), bool(f)) == want, n_burst
