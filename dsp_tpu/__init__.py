@@ -24,6 +24,8 @@ from dsp_tpu.config import (
     VadConfig,
 )
 from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+from dsp_tpu.models.streaming import StreamingRecognizer
 from dsp_tpu.pipeline import Features, extract_features, classify_features, recognize_batch
 
 __version__ = "0.1.0"
@@ -46,7 +48,7 @@ def extract_mfcc(x, cfg: PipelineConfig = PipelineConfig()):
 
 __all__ = [
     "FrontendConfig", "VadConfig", "DtwConfig", "HmmConfig", "PipelineConfig",
-    "KnnDtwRecognizer", "Features",
+    "KnnDtwRecognizer", "GmmHmmRecognizer", "StreamingRecognizer", "Features",
     "extract_features", "classify_features", "recognize_batch", "extract_mfcc",
     "__version__",
 ]

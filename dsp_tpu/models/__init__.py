@@ -4,3 +4,7 @@ from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
 from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer, HmmParams, fit_word, score_words
 
 __all__ = ["KnnDtwRecognizer", "GmmHmmRecognizer", "HmmParams", "fit_word", "score_words"]
+
+from dsp_tpu.models.streaming import StreamingRecognizer  # noqa: E402
+
+__all__.append("StreamingRecognizer")
