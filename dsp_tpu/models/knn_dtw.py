@@ -241,12 +241,16 @@ class KnnDtwRecognizer:
             label_ids=np.asarray(self._bank_label_ids, dtype=np.int32),
             labels=json.dumps(self.labels),
             k=self.k,
+            matcher=self.matcher,
+            ltw_len=self.ltw_len,
         )
 
     @classmethod
     def load(cls, path: str, cfg: PipelineConfig = PipelineConfig()):
         data = np.load(path, allow_pickle=False)
-        rec = cls(cfg, k=int(data["k"]))
+        matcher = str(data["matcher"]) if "matcher" in data.files else "dtw"
+        ltw_len = int(data["ltw_len"]) if "ltw_len" in data.files else 64
+        rec = cls(cfg, k=int(data["k"]), matcher=matcher, ltw_len=ltw_len)
         rec.labels = json.loads(str(data["labels"]))
         rec._bank_feats = [f for f in data["bank"]]
         rec._bank_lens = [int(v) for v in data["lens"]]

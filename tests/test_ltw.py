@@ -57,3 +57,15 @@ def test_ltw_distances_shape_and_self_similarity():
     assert d.shape == (1, 2)
     assert d[0, 0] < d[0, 1]
     assert d[0, 0] < 1e-3   # ~zero up to matmul-expansion f32 cancellation
+
+
+def test_ltw_checkpoint_roundtrip(tmp_path):
+    rec = KnnDtwRecognizer(PipelineConfig(), matcher="ltw", ltw_len=48)
+    rec.enroll("zero", [synth_word("zero", 0)])
+    rec.enroll("one", [synth_word("one", 0)])
+    path = str(tmp_path / "ltw_bank.npz")
+    rec.save(path)
+    loaded = KnnDtwRecognizer.load(path, PipelineConfig())
+    assert loaded.matcher == "ltw" and loaded.ltw_len == 48
+    x = synth_word("one", 3)
+    assert loaded.recognize(x) == rec.recognize(x)
