@@ -107,3 +107,14 @@ def test_cmn_parity_and_recognition():
     # normalized static cepstra have ~zero mean over valid frames
     np.testing.assert_allclose(got[:, :13].mean(axis=0), 0.0, atol=1e-4)
     assert rec.recognize(synth_word("two", 50)) == "two"
+
+
+def test_long_window_config():
+    """A 4-second padded window (max_samples=64000) works end-to-end and
+    max_frames is derived consistently."""
+    cfg = PipelineConfig(max_samples=64000)
+    assert cfg.max_frames == 1 + (64000 - 400) // 160
+    rec = KnnDtwRecognizer(cfg)
+    for lab in LABELS[:2]:
+        rec.enroll(lab, [synth_word(lab, 0, max_samples=48000)])
+    assert rec.recognize(synth_word(LABELS[1], 9, max_samples=48000)) == LABELS[1]

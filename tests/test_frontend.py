@@ -96,3 +96,19 @@ def test_full_feature_stack_parity(signals):
     want = golden.mfcc_with_deltas(x, CFG)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("cfg", [
+    FrontendConfig(sample_rate=8000, frame_len=200, hop_len=80, n_fft=256),
+    FrontendConfig(n_fft=1024, n_mels=40, n_mfcc=20, lifter=0),
+    FrontendConfig(frame_len=512, hop_len=256),
+])
+def test_mfcc_parity_nondefault_configs(cfg):
+    """Golden<->JAX parity holds across the config space, not just defaults."""
+    rng = np.random.default_rng(11)
+    n = cfg.sample_rate  # 1 second
+    x = (0.3 * rng.standard_normal(n)).astype(np.float32)
+    got = np.asarray(fe.mfcc(jnp.asarray(x), cfg, fe.make_matrices(cfg)))
+    want = golden.mfcc(x, cfg)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
