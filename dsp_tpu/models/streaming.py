@@ -23,17 +23,29 @@ from dsp_tpu.ops import streaming as st
 class StreamingRecognizer:
     """Feed audio chunks, get (label, start_frame, end_frame) events."""
 
-    def __init__(self, recognizer: KnnDtwRecognizer, chunk_len: int = 1600):
+    def __init__(self, recognizer: KnnDtwRecognizer, chunk_len: int = 1600,
+                 history_frames: int | None = None):
         self.rec = recognizer
         self.cfg: PipelineConfig = recognizer.cfg
         self.chunk_len = chunk_len
         self.mats = recognizer.mats
         self.state = st.init_state(self.cfg.frontend, chunk_len)
-        self._frames: list[np.ndarray] = []   # valid MFCC frames, host side
+        self._frames: list[np.ndarray] = []   # recent MFCC frames, host side
+        self._offset = 0                      # global index of _frames[0]
+        # keep enough history for the longest classifiable utterance plus
+        # VAD hangover; bounds host memory on long-running streams
+        self.history_frames = history_frames or 4 * self.cfg.max_frames
 
     def reset(self) -> None:
         self.state = st.init_state(self.cfg.frontend, self.chunk_len)
         self._frames = []
+        self._offset = 0
+
+    def _trim_history(self) -> None:
+        extra = len(self._frames) - self.history_frames
+        if extra > 0:
+            del self._frames[:extra]
+            self._offset += extra
 
     def feed(self, chunk: np.ndarray):
         """One chunk [chunk_len] -> list of recognized utterance events."""
@@ -50,13 +62,17 @@ class StreamingRecognizer:
         for t in np.nonzero(ends)[0]:
             start = int(np.asarray(out.utt_start_idx)[t])
             end = int(np.asarray(out.utt_end_idx)[t])
-            end = min(end, len(self._frames))
+            end = min(end, self._offset + len(self._frames))
             if end - start >= 3:
                 events.append(self._classify(start, end))
+        self._trim_history()
         return events
 
     def _classify(self, start: int, end: int):
-        seg = np.stack(self._frames[start:end])               # [T', n_mfcc]
+        # global frame indices -> positions in the trimmed history window
+        lo = max(start - self._offset, 0)
+        hi = max(end - self._offset, lo)
+        seg = np.stack(self._frames[lo:hi])                   # [T', n_mfcc]
         t_max = self.cfg.max_frames
         padded = np.zeros((t_max, seg.shape[1]), dtype=np.float32)
         padded[: len(seg)] = seg[:t_max]
@@ -73,7 +89,7 @@ class StreamingRecognizer:
         """Force-close a speech segment in progress (end of stream)."""
         if int(np.asarray(self.state.vad_state)) == st.SPEECH:
             start = int(np.asarray(self.state.utt_start))
-            end = len(self._frames)
+            end = self._offset + len(self._frames)
             if end - start >= 3:
                 return [self._classify(start, end)]
         return []

@@ -151,3 +151,31 @@ def test_batched_streams_match_individual():
                 np.asarray(indiv[s][c].in_speech), err_msg=f"s={s} c={c}")
             np.testing.assert_array_equal(
                 np.asarray(bout.utt_end[s]), np.asarray(indiv[s][c].utt_end))
+
+
+def test_long_stream_bounded_memory():
+    """Hours-long streams must not grow host memory; a word arriving after
+    a long silence is still recognized with correct global indices."""
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    from dsp_tpu.models.streaming import StreamingRecognizer
+    from dsp_tpu.config import PipelineConfig
+
+    rec = KnnDtwRecognizer(PipelineConfig())
+    for lab in ["zero", "one"]:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(2)])
+    stream = StreamingRecognizer(rec, CHUNK, history_frames=300)
+
+    rng = np.random.default_rng(4)
+    silence_chunks = 120                     # 12 s of near-silence
+    events = []
+    for _ in range(silence_chunks):
+        events += stream.feed((0.002 * rng.standard_normal(CHUNK)).astype(np.float32))
+    assert len(stream._frames) <= 300        # history stayed bounded
+
+    sig = 0.002 * rng.standard_normal(CHUNK * 25)
+    w = synth_word("one", 33, max_samples=24000)
+    sig[8000:8000 + len(w)] += w
+    for c in range(25):
+        events += stream.feed(sig[c * CHUNK:(c + 1) * CHUNK].astype(np.float32))
+    events += stream.flush()
+    assert [e[0] for e in events] == ["one"], events
