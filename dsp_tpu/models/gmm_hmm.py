@@ -309,13 +309,33 @@ def _em_iteration(feats: jax.Array, lengths: jax.Array, params: HmmParams,
 
 
 def fit_word(feats: jax.Array, lengths: jax.Array,
-             cfg: HmmConfig = HmmConfig(), seed: int | None = None) -> HmmParams:
-    """Train one word model on its utterances (host loop, jitted steps)."""
+             cfg: HmmConfig = HmmConfig(), seed: int | None = None,
+             mesh=None) -> HmmParams:
+    """Train one word model on its utterances (host loop, jitted steps).
+
+    With ``mesh`` the E-step shards utterances over the 'data' axis and
+    psum-reduces sufficient statistics (dsp_tpu/parallel/em.py); the
+    utterance count is padded to the axis size with zero-weight (length
+    1, all-zero) utterances whose statistics vanish.
+    """
     key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
     params = init_params(feats, lengths, cfg, key)
+    if mesh is None:
+        for _ in range(cfg.n_iter):
+            params, _ = _em_iteration(feats, lengths, params, cfg)
+        return params
+
+    from dsp_tpu import parallel as par
+
+    nd = mesh.shape[par.DATA_AXIS]
+    f_np, _ = par.pad_axis_to_multiple(np.asarray(feats), nd)
+    l_np, n_orig = par.pad_axis_to_multiple(np.asarray(lengths), nd)
+    # padding utterances: zero features, length 0 -> masked out of stats
+    fd, ld = par.shard_queries(mesh, f_np, l_np)
+    pd = jax.tree.map(lambda a: par.replicate(mesh, np.asarray(a)), params)
     for _ in range(cfg.n_iter):
-        params, _ = _em_iteration(feats, lengths, params, cfg)
-    return params
+        pd, _ = par.em_step_sharded(mesh, fd, ld, pd, cfg)
+    return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), pd)
 
 
 def stack_params(params_list) -> HmmParams:
@@ -342,14 +362,17 @@ class GmmHmmRecognizer:
         x, n = self._pad_signals(signals)
         return pl.extract_features(x, n, self.mats, self.cfg)
 
-    def fit(self, corpus: dict) -> None:
-        """corpus: {label: [signals]} -> per-word segmental-EM training."""
+    def fit(self, corpus: dict, mesh=None) -> None:
+        """corpus: {label: [signals]} -> per-word EM training.
+
+        ``mesh``: optional ('data', ...) mesh — utterances shard across
+        devices with psum-reduced sufficient statistics per iteration."""
         self.labels = sorted(corpus.keys())
         trained = []
         for w, lab in enumerate(self.labels):
             feats = self.extract(corpus[lab])
             trained.append(fit_word(feats.feats, feats.length, self.hmm,
-                                    seed=self.hmm.seed + w))
+                                    seed=self.hmm.seed + w, mesh=mesh))
         self.params = stack_params(trained)
 
     def classify_batch(self, signals, return_scores: bool = False):

@@ -177,3 +177,27 @@ def test_baum_welch_increases_likelihood_and_recognizes():
     rec.fit(train)
     test = {lab: make_corpus([lab], 2, seed=50)[lab] for lab in labels}
     assert rec.evaluate(test)["accuracy"] >= 5 / 6
+
+
+def test_fit_with_mesh_matches_single_device():
+    """GmmHmmRecognizer.fit(mesh=...) == fit() parameters (ragged N)."""
+    from dsp_tpu import parallel as par
+    from dsp_tpu.io.dataset import make_corpus
+    from dsp_tpu.config import PipelineConfig
+
+    corpus = make_corpus(["zero", "one"], n_per_word=5, seed=0)  # 5 % 4 != 0
+    plain = gh.GmmHmmRecognizer(PipelineConfig(), HCFG)
+    plain.fit(corpus)
+    mesh = par.make_mesh(4, 2)
+    sharded = gh.GmmHmmRecognizer(PipelineConfig(), HCFG)
+    sharded.fit(corpus, mesh=mesh)
+    # psum vs single-device summation order drifts ~0.4% through 5 EM
+    # iterations (f32); require near-parity + identical predictions
+    for name in gh.HmmParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(sharded.params, name)),
+            np.asarray(getattr(plain.params, name)),
+            rtol=2e-2, atol=1e-2, err_msg=name)
+    from dsp_tpu.io.dataset import synth_word
+    probes = [synth_word(w, 77 + i) for i, w in enumerate(["zero", "one"])]
+    assert sharded.classify_batch(probes) == plain.classify_batch(probes)
