@@ -42,7 +42,8 @@ def _pipeline_cfg(args) -> PipelineConfig:
         feature_type=args.features,
         lpc_order=args.lpc_order,
     )
-    dtw = DtwConfig(band_frac=args.band, impl=args.dtw_impl)
+    band = None if args.band is not None and args.band <= 0 else args.band
+    dtw = DtwConfig(band_frac=band, impl=args.dtw_impl)
     return PipelineConfig(
         frontend=fe, dtw=dtw,
         max_samples=args.max_samples,
@@ -62,9 +63,15 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--features", choices=["mfcc", "lpcc"], default="mfcc")
     p.add_argument("--lpc-order", type=int, default=12)
     p.add_argument("--no-vad", action="store_true")
-    p.add_argument("--band", type=float, default=None,
-                   help="Sakoe-Chiba band fraction (e.g. 0.2)")
-    p.add_argument("--dtw-impl", choices=["scan", "pallas", "fused"], default="scan")
+    p.add_argument("--band", type=float, default=DtwConfig.band_frac,
+                   help="Sakoe-Chiba band fraction (0 or negative = "
+                        f"unbanded; default {DtwConfig.band_frac})")
+    p.add_argument("--dtw-impl",
+                   choices=["auto", "scan", "pallas", "fused",
+                            "fused_banded"],
+                   default=DtwConfig.impl,
+                   help="auto = fused banded Pallas kernel on TPU, "
+                        "XLA scan elsewhere")
     p.add_argument("--k", type=int, default=1, help="kNN votes")
     p.add_argument("--metrics-out", default=None,
                    help="write run metrics JSON to this path")

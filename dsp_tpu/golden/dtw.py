@@ -22,6 +22,80 @@ from dsp_tpu.config import DtwConfig
 BIG = 1e30
 
 
+def band_r2_int(ta: int, tb: int, band_frac: float):
+    """(lam1, lbm1, r2) for the integer band rule |j*lam1 - i*lbm1| <= r2.
+
+    Mirrors ops/dtw.py:band_r2 operation-for-operation in float32 so the
+    boundary cells are bit-identical everywhere.
+    """
+    lam1 = max(ta - 1, 1)
+    lbm1 = tb - 1
+    radius = np.maximum(np.float32(1.0),
+                        np.float32(band_frac) * np.float32(max(ta, tb)))
+    r2 = int(np.floor(radius * np.float32(lam1)))
+    return lam1, lbm1, r2
+
+
+def windowed_band_mask(ta: int, tb: int, band_frac: float, *,
+                       window: int, row_block: int, s_max: int,
+                       u_pad: int) -> np.ndarray:
+    """Valid-cell mask of the fused banded kernel's windowed semantics.
+
+    The kernel (kernels/dtw_fused_banded.py) restricts each row i to a
+    ``window``-wide lane window whose start is quantised to multiples of 8,
+    constant over ``row_block`` consecutive rows, and advances at most
+    ``s_max`` lanes per block.  A cell is valid iff it is inside both the
+    integer Sakoe-Chiba band and that window.  When the window covers the
+    whole band (the static coverage condition) this equals the pure band.
+    """
+    lam1, lbm1, r2 = band_r2_int(ta, tb, band_frac)
+    offs = []
+    off_prev = 0
+    for b in range((ta + row_block - 1) // row_block):
+        i0 = b * row_block
+        jlo = (max(i0 * lbm1 - r2, 0) + lam1 - 1) // lam1
+        # -8 slack: lane 0 stays out-of-band whenever off > 0 (see kernel)
+        off = max((jlo // 8) * 8 - 8, 0)
+        off = min(off, max(u_pad - window, 0))
+        off = min(off, off_prev + s_max)
+        offs.append(off)
+        off_prev = off
+    valid = np.zeros((ta, tb), dtype=bool)
+    for i in range(ta):
+        off = offs[i // row_block]
+        for j in range(max(off, 0), min(off + window, tb)):
+            if abs(j * lam1 - i * lbm1) <= r2:
+                valid[i, j] = True
+    return valid
+
+
+def dtw_distance_masked(a: np.ndarray, b: np.ndarray, valid: np.ndarray,
+                        squared: bool = False) -> float:
+    """DTW over an explicit valid-cell mask (BIG elsewhere), normalised.
+
+    Oracle for windowed/banded kernels: identical recurrence to
+    ``dtw_distance`` with the mask supplied by the caller.
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    ta, tb = a.shape[0], b.shape[0]
+    diff = a[:, None, :] - b[None, :, :]
+    cost = np.sum(diff * diff, axis=-1)
+    if not squared:
+        cost = np.sqrt(np.maximum(cost, 0.0))
+    cost = np.where(valid, cost, BIG)
+    dp = np.full((ta, tb), BIG, dtype=np.float64)
+    dp[0, 0] = cost[0, 0]
+    for j in range(1, tb):
+        dp[0, j] = dp[0, j - 1] + cost[0, j]
+    for i in range(1, ta):
+        dp[i, 0] = dp[i - 1, 0] + cost[i, 0]
+        for j in range(1, tb):
+            dp[i, j] = cost[i, j] + min(dp[i - 1, j], dp[i, j - 1],
+                                        dp[i - 1, j - 1])
+    return dp[ta - 1, tb - 1] / float(ta + tb)
+
+
 def dtw_distance(
     a: np.ndarray,
     b: np.ndarray,
@@ -40,12 +114,13 @@ def dtw_distance(
         cost = np.sqrt(np.maximum(cost, 0.0))
 
     if cfg.band_frac is not None:
-        radius = max(1.0, cfg.band_frac * max(ta, tb))
-        # band around the stretched diagonal j ~ i * (tb-1)/(ta-1)
-        scale = (tb - 1) / max(ta - 1, 1)
+        # band around the stretched diagonal j ~ i * (tb-1)/(ta-1),
+        # evaluated in the integer domain (see ops/dtw.py band_r2) so the
+        # boundary is bit-identical across numpy / XLA / Pallas
+        lam1, lbm1, r2 = band_r2_int(ta, tb, cfg.band_frac)
         for i in range(ta):
             for j in range(tb):
-                if abs(j - i * scale) > radius:
+                if abs(j * lam1 - i * lbm1) > r2:
                     cost[i, j] = BIG
 
     dp = np.full((ta, tb), BIG, dtype=np.float64)

@@ -82,6 +82,21 @@ def dtw_from_cost(cost: jax.Array, len_a: jax.Array, len_b: jax.Array) -> jax.Ar
     return dist / (len_a + len_b).astype(cost.dtype)
 
 
+def band_r2(len_a: jax.Array, len_b: jax.Array, band_frac: float) -> jax.Array:
+    """Integer Sakoe-Chiba threshold: in-band iff |j*lam1 - i*lbm1| <= r2.
+
+    The band |j - i*(lb-1)/(la-1)| <= radius is evaluated in the integer
+    domain (multiply through by la-1) so every implementation — XLA scan,
+    numpy golden, Pallas kernel scalar unit, Pallas vector unit — computes
+    the *same* boundary cells from the same f32 multiply + floor.
+    """
+    lam1 = jnp.maximum(len_a - 1, 1)
+    radius = jnp.maximum(
+        jnp.float32(1.0),
+        jnp.float32(band_frac) * jnp.maximum(len_a, len_b).astype(jnp.float32))
+    return jnp.floor(radius * lam1.astype(jnp.float32)).astype(jnp.int32)
+
+
 def masked_cost(a: jax.Array, b: jax.Array, len_a: jax.Array, len_b: jax.Array,
                 cfg: DtwConfig = DtwConfig(),
                 precision=jax.lax.Precision.HIGHEST) -> jax.Array:
@@ -92,10 +107,11 @@ def masked_cost(a: jax.Array, b: jax.Array, len_a: jax.Array, len_b: jax.Array,
     j = jnp.arange(u)[None, :]
     invalid = j >= len_b
     if cfg.band_frac is not None:
-        i = jnp.arange(t, dtype=cost.dtype)[:, None]
-        radius = jnp.maximum(1.0, cfg.band_frac * jnp.maximum(len_a, len_b))
-        scale = (len_b - 1).astype(cost.dtype) / jnp.maximum(len_a - 1, 1)
-        invalid = invalid | (jnp.abs(j.astype(cost.dtype) - i * scale) > radius)
+        i = jnp.arange(t, dtype=jnp.int32)[:, None]
+        lam1 = jnp.maximum(len_a - 1, 1).astype(jnp.int32)
+        lbm1 = (len_b - 1).astype(jnp.int32)
+        r2 = band_r2(len_a, len_b, cfg.band_frac)
+        invalid = invalid | (jnp.abs(j.astype(jnp.int32) * lam1 - i * lbm1) > r2)
     return jnp.where(invalid, jnp.asarray(cfg.big, cost.dtype), cost)
 
 

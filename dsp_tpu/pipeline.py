@@ -94,11 +94,25 @@ def classify_features(feats: Features, bank: Features, bank_label_ids: jax.Array
     k=1 is plain nearest-template; k>1 does kNN majority vote with
     distance-sum tie-breaking, all on device.
     """
-    if cfg.dtw.impl == "pallas":
+    impl = cfg.dtw.impl
+    if impl == "auto":
+        # fused banded kernel on TPU when the band is statically windowable
+        # (same distances as the scan under coverage); scan otherwise
+        from dsp_tpu.kernels.dtw_fused_banded import plan_window
+        covered = (cfg.dtw.band_frac is not None
+                   and plan_window(cfg.dtw.band_frac, feats.feats.shape[1],
+                                   bank.feats.shape[1])[4])
+        impl = ("fused_banded"
+                if covered and jax.default_backend() == "tpu" else "scan")
+    if impl == "fused_banded":
+        from dsp_tpu.kernels.dtw_fused_banded import dtw_batch_fused_banded
+        dists = dtw_batch_fused_banded(feats.feats, feats.length,
+                                       bank.feats, bank.length, cfg.dtw)
+    elif impl == "pallas":
         from dsp_tpu.kernels.dtw_pallas import dtw_batch_pallas
         dists = dtw_batch_pallas(feats.feats, feats.length,
                                  bank.feats, bank.length, cfg.dtw, precision)
-    elif cfg.dtw.impl == "fused":
+    elif impl == "fused":
         from dsp_tpu.kernels.dtw_fused import dtw_batch_fused
         dists = dtw_batch_fused(feats.feats, feats.length,
                                 bank.feats, bank.length, cfg.dtw)

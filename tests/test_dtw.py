@@ -79,10 +79,13 @@ def test_dtw_identity_zero_and_symmetry():
     # self-distance is not exactly 0: the matmul-expanded cost
     # |a|^2+|b|^2-2ab cancels to ~1e-5 in f32 and sqrt amplifies that;
     # inter-class costs are O(1-10) so 1e-3 noise is irrelevant.
-    assert float(jdtw.dtw_distance(jnp.asarray(a), jnp.asarray(a))) < 2e-3
+    noband = DtwConfig(band_frac=None)
+    assert float(jdtw.dtw_distance(jnp.asarray(a), jnp.asarray(a),
+                                   cfg=noband)) < 2e-3
     np.testing.assert_allclose(
-        float(jdtw.dtw_distance(jnp.asarray(a), jnp.asarray(b))),
-        float(jdtw.dtw_distance(jnp.asarray(b), jnp.asarray(a))), rtol=1e-6)
+        float(jdtw.dtw_distance(jnp.asarray(a), jnp.asarray(b), cfg=noband)),
+        float(jdtw.dtw_distance(jnp.asarray(b), jnp.asarray(a), cfg=noband)),
+        rtol=1e-6)
 
 
 def test_dtw_bidi_exhaustive_tiny():
@@ -92,10 +95,11 @@ def test_dtw_bidi_exhaustive_tiny():
         for tb in range(1, 9):
             a = rng.standard_normal((8, 3)).astype(np.float32)
             b = rng.standard_normal((8, 3)).astype(np.float32)
-            want = golden.dtw_distance(a[:ta], b[:tb])
+            noband = DtwConfig(band_frac=None)
+            want = golden.dtw_distance(a[:ta], b[:tb], noband)
             got = float(jdtw.dtw_distance_bidi(
                 jnp.asarray(a), jnp.asarray(b),
-                jnp.asarray(ta), jnp.asarray(tb)))
+                jnp.asarray(ta), jnp.asarray(tb), noband))
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
                                        err_msg=f"{ta},{tb}")
 

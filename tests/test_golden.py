@@ -124,7 +124,9 @@ def test_dtw_symmetry():
     rng = np.random.default_rng(2)
     a = rng.standard_normal((12, 5))
     b = rng.standard_normal((19, 5))
-    np.testing.assert_allclose(golden.dtw_distance(a, b), golden.dtw_distance(b, a))
+    noband = DtwConfig(band_frac=None)
+    np.testing.assert_allclose(golden.dtw_distance(a, b, noband),
+                               golden.dtw_distance(b, a, noband))
 
 
 def test_dtw_path_properties():
@@ -167,5 +169,5 @@ def test_golden_self_classification():
     bank = [(lab, mfcc_with_deltas(synth_word(lab, 0))) for lab in labels]
     for lab in labels:
         feats = mfcc_with_deltas(synth_word(lab, 1))  # different utterance
-        pred, _ = classify(feats, bank)
+        pred, _ = classify(feats, bank, DtwConfig(band_frac=None))
         assert pred == lab

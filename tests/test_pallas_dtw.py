@@ -74,11 +74,12 @@ def test_kernel_pair_tile_padding():
     b = rng.standard_normal((3, 12, 4)).astype(np.float32)
     la = np.array([10, 7, 2], dtype=np.int32)
     lb = np.array([12, 3, 12], dtype=np.int32)
+    noband = DtwConfig(band_frac=None)
     got = np.asarray(kp.dtw_pairs_pallas(
         jnp.asarray(a), jnp.asarray(b), jnp.asarray(la), jnp.asarray(lb),
-        interpret=True))
+        noband, interpret=True))
     for p in range(3):
-        want = golden.dtw_distance(a[p, :la[p]], b[p, :lb[p]])
+        want = golden.dtw_distance(a[p, :la[p]], b[p, :lb[p]], noband)
         np.testing.assert_allclose(got[p], want, rtol=1e-5)
 
 
@@ -92,11 +93,13 @@ def test_fused_kernel_matches_scan():
         bank = rng.standard_normal((K, U, F)).astype(np.float32)
         ql = rng.integers(1, T + 1, size=B).astype(np.int32)
         bl = rng.integers(1, U + 1, size=K).astype(np.int32)
+        noband = DtwConfig(band_frac=None)
         want = np.asarray(jdtw.dtw_batch(jnp.asarray(q), jnp.asarray(ql),
-                                         jnp.asarray(bank), jnp.asarray(bl)))
+                                         jnp.asarray(bank), jnp.asarray(bl),
+                                         noband))
         got = np.asarray(dtw_batch_fused(jnp.asarray(q), jnp.asarray(ql),
                                          jnp.asarray(bank), jnp.asarray(bl),
-                                         interpret=True))
+                                         noband, interpret=True))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from dsp_tpu.config import FrontendConfig, PipelineConfig, VadConfig
+from dsp_tpu.config import DtwConfig, FrontendConfig, PipelineConfig, VadConfig
 from dsp_tpu import golden
 from dsp_tpu.io.dataset import synth_word
 from dsp_tpu.ops import dtw as jdtw
@@ -48,9 +48,11 @@ def test_dtw_masked_fuzz():
         a = rng.standard_normal((40, f)).astype(np.float32)
         b = rng.standard_normal((40, f)).astype(np.float32)
         la, lb = int(rng.integers(1, t + 1)), int(rng.integers(1, u + 1))
-        want = golden.dtw_distance(a[:la], b[:lb])
+        noband = DtwConfig(band_frac=None)
+        want = golden.dtw_distance(a[:la], b[:lb], noband)
         got = float(jdtw.dtw_distance(jnp.asarray(a), jnp.asarray(b),
-                                      jnp.asarray(la), jnp.asarray(lb)))
+                                      jnp.asarray(la), jnp.asarray(lb),
+                                      noband))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
                                    err_msg=f"trial {trial} ({la},{lb},{f})")
 
@@ -75,8 +77,11 @@ def test_dtw_metric_like_properties_fuzz():
     for _ in range(10):
         a = rng.standard_normal((17, 6)).astype(np.float32)
         b = rng.standard_normal((23, 6)).astype(np.float32)
-        dab = float(jdtw.dtw_distance(jnp.asarray(a), jnp.asarray(b)))
-        dba = float(jdtw.dtw_distance(jnp.asarray(b), jnp.asarray(a)))
+        noband = DtwConfig(band_frac=None)
+        dab = float(jdtw.dtw_distance(jnp.asarray(a), jnp.asarray(b),
+                                      cfg=noband))
+        dba = float(jdtw.dtw_distance(jnp.asarray(b), jnp.asarray(a),
+                                      cfg=noband))
         assert dab >= 0
         np.testing.assert_allclose(dab, dba, rtol=1e-5)
 
