@@ -122,6 +122,8 @@ def cmd_recognize(args):
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
     cfg = _pipeline_cfg(args)
     rec = KnnDtwRecognizer.load(args.bank, cfg)
+    if args.k != rec.k:                 # --k overrides the enrolled value
+        rec.k = args.k
     sigs = [read_wav(p, cfg.frontend.sample_rate)[1] for p in args.wavs]
     labels = rec.classify_batch(sigs)
     for path, lab in zip(args.wavs, labels):
@@ -140,6 +142,8 @@ def cmd_evaluate(args):
             log.info("evaluating on a %s mesh", dict(mesh.shape))
     rec = KnnDtwRecognizer.load(args.bank, cfg)
     rec.mesh = mesh
+    if args.k != rec.k:                 # --k overrides the enrolled value
+        rec.k = args.k
     corpus = _load_corpus(args.corpus, args.sr)
     metrics = RunMetrics("evaluate")
     result = rec.evaluate(corpus)

@@ -45,6 +45,9 @@ class FrontendConfig:
     feature_type: str = "mfcc"     # "mfcc" | "lpcc"
     lpc_order: int = 12            # LPC prediction order (feature_type="lpcc")
     log_floor: float = 1e-10
+    impl: str = "xla"              # "xla" (fused by the compiler) | "pallas"
+    # (fused kernel; measured on par with XLA on v5e — docs/PERF.md —
+    # so the compiler path stays default)
 
     @property
     def fmax_hz(self) -> float:
@@ -85,6 +88,7 @@ class VadConfig:
     min_speech_frames: int = 5
     max_silence_frames: int = 15
     hangover_frames: int = 8       # frames kept after the detected end
+    min_utterance_frames: int = 3  # drop detected segments shorter than this
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,15 +98,20 @@ class DtwConfig:
     Defaults follow the classical recipe: Euclidean local cost with a
     15% Sakoe-Chiba band (Sakoe & Chiba 1978 recommend a band both for
     speed and accuracy; 15% keeps the synthetic-corpus holdout at 100%
-    where 10% clips one true warp).  ``impl="auto"`` routes banded
-    matching through
-    the fused Pallas window kernel on TPU (measured 2x the XLA scan on
-    v5e, exact same distances) and falls back to the scan on other
-    backends, when the band cannot be windowed statically, or when
-    ``band_frac=None``.
+    where 10% clips one true warp).  With ``max_warp_scale`` set, the
+    band is additionally limited to a sliding lane window whose advance
+    rate is capped (an Itakura-style slope limit, quantised so a kernel
+    can track it — see ops/dtw.py:plan_window); pairs warped more than
+    ~max_warp_scale x score as unreachable.  This windowed-band rule is
+    THE banded semantics framework-wide: XLA scan, numpy golden oracle
+    and the Pallas kernel produce identical distances on any backend.
+    ``impl="auto"`` routes banded matching through the fused Pallas
+    window kernel on TPU (measured 2x the XLA scan on v5e) and falls
+    back to the scan elsewhere.
     """
 
     band_frac: Optional[float] = 0.15  # Sakoe-Chiba band as fraction of max(T,U); None = full
+    max_warp_scale: Optional[float] = 2.0  # warp-slope limit for the banded window schedule (None = pure band, scan only)
     squared: bool = False              # use squared Euclidean local cost
     big: float = 1e30                  # finite "infinity" for masked cells
     impl: str = "auto"                 # "auto" | "scan" (XLA) | "fused_banded" (Pallas window kernel) | "pallas" (wavefront) | "fused" (no HBM cost)

@@ -37,16 +37,17 @@ def band_r2_int(ta: int, tb: int, band_frac: float):
 
 
 def windowed_band_mask(ta: int, tb: int, band_frac: float, *,
-                       window: int, row_block: int, s_max: int,
-                       u_pad: int) -> np.ndarray:
-    """Valid-cell mask of the fused banded kernel's windowed semantics.
+                       window: int, row_block: int, s_max: int) -> np.ndarray:
+    """Valid-cell mask of the windowed-band semantics (DtwConfig docs).
 
-    The kernel (kernels/dtw_fused_banded.py) restricts each row i to a
-    ``window``-wide lane window whose start is quantised to multiples of 8,
-    constant over ``row_block`` consecutive rows, and advances at most
-    ``s_max`` lanes per block.  A cell is valid iff it is inside both the
-    integer Sakoe-Chiba band and that window.  When the window covers the
-    whole band (the static coverage condition) this equals the pure band.
+    Each row i is restricted to a ``window``-wide lane window whose start
+    is quantised to multiples of 8 (with a -8 slack), constant over
+    ``row_block`` consecutive rows, right-clipped to tb, and advancing at
+    most ``s_max`` lanes per block.  A cell is valid iff it is inside
+    both the integer Sakoe-Chiba band and that window.  When the window
+    covers the whole band (plan_window 'covered') this equals the pure
+    band.  Mirrors ops/dtw.py:window_offsets and the Pallas kernel
+    operation-for-operation.
     """
     lam1, lbm1, r2 = band_r2_int(ta, tb, band_frac)
     offs = []
@@ -56,7 +57,7 @@ def windowed_band_mask(ta: int, tb: int, band_frac: float, *,
         jlo = (max(i0 * lbm1 - r2, 0) + lam1 - 1) // lam1
         # -8 slack: lane 0 stays out-of-band whenever off > 0 (see kernel)
         off = max((jlo // 8) * 8 - 8, 0)
-        off = min(off, max(u_pad - window, 0))
+        off = min(off, (max(tb - window, 0) + 7) // 8 * 8)
         off = min(off, off_prev + s_max)
         offs.append(off)
         off_prev = off
@@ -101,8 +102,15 @@ def dtw_distance(
     b: np.ndarray,
     cfg: DtwConfig = DtwConfig(),
     return_path: bool = False,
+    plan_shape: tuple[int, int] | None = None,
 ):
-    """DTW distance between feature sequences a [Ta, F] and b [Tb, F]."""
+    """DTW distance between feature sequences a [Ta, F] and b [Tb, F].
+
+    ``plan_shape`` pins the (t, u) problem shape the banded window
+    schedule is planned for; the padded implementations plan on their
+    static array shapes, so pass those here when checking parity against
+    them (defaults to the actual (ta, tb)).
+    """
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     ta, tb = a.shape[0], b.shape[0]
@@ -116,12 +124,24 @@ def dtw_distance(
     if cfg.band_frac is not None:
         # band around the stretched diagonal j ~ i * (tb-1)/(ta-1),
         # evaluated in the integer domain (see ops/dtw.py band_r2) so the
-        # boundary is bit-identical across numpy / XLA / Pallas
-        lam1, lbm1, r2 = band_r2_int(ta, tb, cfg.band_frac)
-        for i in range(ta):
-            for j in range(tb):
-                if abs(j * lam1 - i * lbm1) > r2:
-                    cost[i, j] = BIG
+        # boundary is bit-identical across numpy / XLA / Pallas, and
+        # intersected with the windowed-band schedule when
+        # max_warp_scale is set (the framework-wide banded semantics)
+        if cfg.max_warp_scale is not None:
+            from dsp_tpu.window_plan import plan_window
+
+            pt, pu = plan_shape if plan_shape is not None else (ta, tb)
+            w, s_max, _, rb, _ = plan_window(cfg.band_frac, pt, pu,
+                                             cfg.max_warp_scale)
+            valid = windowed_band_mask(ta, tb, cfg.band_frac,
+                                       window=w, row_block=rb, s_max=s_max)
+            cost = np.where(valid, cost, BIG)
+        else:
+            lam1, lbm1, r2 = band_r2_int(ta, tb, cfg.band_frac)
+            for i in range(ta):
+                for j in range(tb):
+                    if abs(j * lam1 - i * lbm1) > r2:
+                        cost[i, j] = BIG
 
     dp = np.full((ta, tb), BIG, dtype=np.float64)
     dp[0, 0] = cost[0, 0]
@@ -153,12 +173,15 @@ def dtw_distance(
     return dist, path[::-1]
 
 
-def classify(feats: np.ndarray, bank, cfg: DtwConfig = DtwConfig()):
+def classify(feats: np.ndarray, bank, cfg: DtwConfig = DtwConfig(),
+             plan_shape: tuple[int, int] | None = None):
     """Nearest-template classification.
 
     ``bank`` is a list of (label, template_feats).  Returns
-    (best_label, distances list).
+    (best_label, distances list).  ``plan_shape`` pins the banded window
+    plan to a padded problem shape (see dtw_distance).
     """
-    dists = [dtw_distance(feats, tmpl, cfg) for _, tmpl in bank]
+    dists = [dtw_distance(feats, tmpl, cfg, plan_shape=plan_shape)
+             for _, tmpl in bank]
     best = int(np.argmin(dists))
     return bank[best][0], dists

@@ -40,6 +40,12 @@ def extract_features(x: np.ndarray, pcfg: PipelineConfig = PipelineConfig()):
 
 def recognize(x: np.ndarray, bank, pcfg: PipelineConfig = PipelineConfig(),
               dtw_cfg=None):
-    """Signal + [(label, template feats)] bank -> (label, distances)."""
+    """Signal + [(label, template feats)] bank -> (label, distances).
+
+    The banded window schedule is planned on the device pipeline's padded
+    problem shape (max_frames x max_frames) so distances match the padded
+    jax implementations exactly even for extreme-warp pairs.
+    """
     feats, _ = extract_features(x, pcfg)
-    return dtw_classify(feats, bank, dtw_cfg or pcfg.dtw)
+    return dtw_classify(feats, bank, dtw_cfg or pcfg.dtw,
+                        plan_shape=(pcfg.max_frames, pcfg.max_frames))

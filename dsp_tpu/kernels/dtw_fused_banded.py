@@ -48,7 +48,6 @@ instead, which also forces D=BIG at invalid lanes for the next row.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -57,47 +56,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dsp_tpu.config import DtwConfig
 from dsp_tpu.ops.dtw import BIG
+from dsp_tpu.window_plan import LANE, plan_window, round_up as _round_up
 
-LANE = 128
 QUERY_TILE = 128
-MAX_WARP_SCALE = 2.0     # static bound on (lb-1)/(la-1) for window advance
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-def plan_window(band_frac, t: int, u: int, max_scale: float = MAX_WARP_SCALE):
-    """Static (W, S_MAX, span, row_block, covered) for the kernel.
-
-    W        — window lanes (multiple of LANE, <= u_pad)
-    S_MAX    — max window advance per row_block rows (multiple of 8)
-    span     — power of two >= the longest in-window horizontal run
-    row_block— rows sharing one window offset (16 or 32; bigger blocks
-               mean fewer/larger extraction ops but more window drift)
-    covered  — True if W provably contains the whole band for any
-               lengths <= (t, u) with warp scale <= max_scale, i.e. the
-               kernel equals pure banded DTW (not just windowed).
-    """
-    u_pad = _round_up(u, LANE)
-    if band_frac is None:
-        return u_pad, 0, u_pad, 32, True
-    radius = max(1.0, band_frac * max(t, u))
-    width = int(2 * radius) + 1
-    w = covered = None
-    for rb in (32, 16):
-        drift = int(math.ceil(rb * max_scale))
-        # +8 window-start slack keeps lane 0 out-of-band whenever off>0
-        # (the squared path's full-row prefix sums need CS_{off-1} unread)
-        need = width + drift + 8 + 8 + 2
-        w_rb = min(u_pad, _round_up(need, LANE))
-        if w is None or w_rb < w:
-            # w == u_pad means the "window" is the whole row: trivially
-            # covered regardless of the drift bound
-            w, row_block, covered = w_rb, rb, need <= w_rb or w_rb == u_pad
-    s_max = 0 if w == u_pad else _round_up(int(row_block * max_scale) + 8, 8)
-    span = 1 << max(1, math.ceil(math.log2(min(width + 1, w))))
-    return w, s_max, min(span, w), row_block, covered
 
 
 def _exact_floordiv(a, b):
@@ -144,7 +105,10 @@ def _kernel(la_s, lb_s, qf_ref, bf_ref, lav_ref, out_ref, cq, cs, *,
                 num = jnp.maximum(i0 * lbm1 - r2, 0)
                 jlo = (num + lam1 - 1) // lam1
                 off = jnp.maximum((jlo // 8) * 8 - 8, 0)
-                off = jnp.minimum(off, u_pad - w)
+                # right-edge clip, ceil'd to 8: every off stays a
+                # multiple of 8 (the realign stages shift by 8s only)
+                clip8 = ((jnp.maximum(lb - w, 0) + 7) // 8) * 8
+                off = jnp.minimum(off, clip8)
                 off = jnp.minimum(off, off_prev + s_max)
                 off_prev = off
                 blk = cq[i0:i0 + rb, :]
@@ -180,7 +144,8 @@ def _kernel(la_s, lb_s, qf_ref, bf_ref, lav_ref, out_ref, cq, cs, *,
             num = jnp.maximum(i0 * lbm1 - r2v, 0)
             jlo = _exact_floordiv(num + lam1v - 1, lam1v)
             off = jnp.maximum(((jlo >> 3) << 3) - 8, 0)
-            off = jnp.minimum(off, u_pad - w)
+            clip8 = ((jnp.maximum(lb - w, 0) + 7) >> 3) << 3
+            off = jnp.minimum(off, clip8)
             off = jnp.minimum(off, off_prev + s_max)
             s_v = off - off_prev                             # [QT,1] 8k <= S_MAX
             # (no left-edge diagonal carry needed: the -8 window slack
@@ -284,7 +249,13 @@ def dtw_batch_fused_banded(queries: jax.Array, q_lens: jax.Array,
 
     bsz, t, f = queries.shape
     k, u, _ = bank.shape
-    w, s_max, span, rb, _covered = plan_window(cfg.band_frac, t, u)
+    if cfg.band_frac is not None and cfg.max_warp_scale is None:
+        raise ValueError(
+            "the fused banded kernel implements the windowed band "
+            "(DtwConfig.max_warp_scale set); use impl='scan' for the "
+            "pure unbounded-slope band")
+    w, s_max, span, rb, _covered = plan_window(cfg.band_frac, t, u,
+                                               cfg.max_warp_scale)
     t_pad = _round_up(t, rb)
     u_pad = _round_up(u, LANE)
     # wide query tiles amortise the DP's per-op cost (measured on v5e:

@@ -70,19 +70,31 @@ def _padded_constants(cfg: FrontendConfig):
 
 def _mfcc_kernel(frames_ref, win_ref, cos_ref, sin_ref, mel_ref, dct_ref,
                  lift_ref, out_ref, *, n_fft: int, log_floor: float,
-                 n_mels: int):
+                 n_mels: int, use_energy: bool):
     f32 = jnp.float32
-    w = frames_ref[:] * win_ref[0, :][None, :]
-    re = jnp.dot(w, cos_ref[:], preferred_element_type=f32)
-    im = jnp.dot(w, sin_ref[:], preferred_element_type=f32)
+    hi = jax.lax.Precision.HIGHEST      # bf16 MXU rounding visibly
+    w = frames_ref[:] * win_ref[0, :][None, :]     # corrupts log-mel ceps
+    re = jnp.dot(w, cos_ref[:], preferred_element_type=f32, precision=hi)
+    im = jnp.dot(w, sin_ref[:], preferred_element_type=f32, precision=hi)
     power = (re * re + im * im) * (1.0 / n_fft)
-    mel_e = jnp.dot(power, mel_ref[:], preferred_element_type=f32)
+    mel_e = jnp.dot(power, mel_ref[:], preferred_element_type=f32,
+                    precision=hi)
     # padded mel columns hold 0 energy -> log(floor); zero DCT rows kill them
     log_mel = jnp.log(jnp.maximum(mel_e, log_floor))
     col = jax.lax.broadcasted_iota(jnp.int32, log_mel.shape, 1)
     log_mel = jnp.where(col < n_mels, log_mel, 0.0)
-    ceps = jnp.dot(log_mel, dct_ref[:], preferred_element_type=f32)
-    out_ref[:] = ceps * lift_ref[0, :][None, :]
+    ceps = jnp.dot(log_mel, dct_ref[:], preferred_element_type=f32,
+                   precision=hi)
+    ceps = ceps * lift_ref[0, :][None, :]
+    if use_energy:
+        # replace c0 with log frame energy of the pre-window frames,
+        # mirroring ops/frontend.py:mfcc exactly
+        frame_e = jnp.sum(frames_ref[:] * frames_ref[:], axis=-1,
+                          keepdims=True)
+        c0 = jnp.log(jnp.maximum(frame_e, log_floor))
+        out_col = jax.lax.broadcasted_iota(jnp.int32, ceps.shape, 1)
+        ceps = jnp.where(out_col == 0, c0, ceps)
+    out_ref[:] = ceps
 
 
 def mfcc_frames_pallas(frames: jax.Array,
@@ -100,7 +112,8 @@ def mfcc_frames_pallas(frames: jax.Array,
         frames = jnp.pad(frames, ((0, n_pad - n), (0, 0)))
 
     kernel = functools.partial(_mfcc_kernel, n_fft=cfg.n_fft,
-                               log_floor=cfg.log_floor, n_mels=cfg.n_mels)
+                               log_floor=cfg.log_floor, n_mels=cfg.n_mels,
+                               use_energy=cfg.use_energy)
     grid = (n_pad // TILE_N,)
     const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(

@@ -343,6 +343,40 @@ def stack_params(params_list) -> HmmParams:
                        for f in HmmParams._fields))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fit_words_batched(feats_w: jax.Array, lengths_w: jax.Array,
+                      seeds: jax.Array, cfg: HmmConfig) -> HmmParams:
+    """EM for ALL word models in ONE jitted program.
+
+    feats_w [W, N, T, F] / lengths_w [W, N]: per-word utterances padded to
+    a common N with zero-length entries (their statistics vanish through
+    the validity masks).  The per-word EM vmaps over the leading word
+    axis and the fixed iteration count runs as a `lax.fori_loop`, so the
+    whole vocabulary trains with one compile + one dispatch instead of
+    W x n_iter launches (the round-1 fit() host loop).
+
+    Under a ('data','bank') mesh, shard feats_w P('bank','data') and the
+    jit partitioner runs words across the bank axis and psum-reduces the
+    utterance-sharded sufficient statistics — same layout as
+    parallel/em.py's single-word step.
+    """
+    keys = jax.vmap(jax.random.PRNGKey)(seeds)
+    params = jax.vmap(lambda f, l, k: init_params(f, l, cfg, k))(
+        feats_w, lengths_w, keys)
+
+    def one_word(f, l, p):
+        if cfg.train_mode == "baum_welch":
+            stats = em_suff_stats_soft(f, l, p, cfg)
+        else:
+            stats = em_suff_stats(f, l, p, cfg)
+        return _params_from_stats(stats, p, cfg)
+
+    def body(_, p):
+        return jax.vmap(one_word)(feats_w, lengths_w, p)
+
+    return jax.lax.fori_loop(0, cfg.n_iter, body, params)
+
+
 # --------------------------------------------------------------- recognizer
 class GmmHmmRecognizer:
     """Word-per-HMM recognizer mirroring the KnnDtwRecognizer surface."""
@@ -362,18 +396,50 @@ class GmmHmmRecognizer:
         x, n = self._pad_signals(signals)
         return pl.extract_features(x, n, self.mats, self.cfg)
 
-    def fit(self, corpus: dict, mesh=None) -> None:
+    def fit(self, corpus: dict, mesh=None, batched: bool = True) -> None:
         """corpus: {label: [signals]} -> per-word EM training.
 
-        ``mesh``: optional ('data', ...) mesh — utterances shard across
-        devices with psum-reduced sufficient statistics per iteration."""
+        ``batched`` (default) trains ALL word models in one jitted
+        program (fit_words_batched: one compile, one dispatch); the
+        legacy per-word host loop remains for debugging.
+        ``mesh``: optional ('data','bank') mesh — batched mode shards
+        words on 'bank' and utterances on 'data'; loop mode shards
+        utterances only, with psum-reduced statistics per iteration."""
         self.labels = sorted(corpus.keys())
-        trained = []
-        for w, lab in enumerate(self.labels):
-            feats = self.extract(corpus[lab])
-            trained.append(fit_word(feats.feats, feats.length, self.hmm,
-                                    seed=self.hmm.seed + w, mesh=mesh))
-        self.params = stack_params(trained)
+        if not batched:
+            trained = []
+            for w, lab in enumerate(self.labels):
+                feats = self.extract(corpus[lab])
+                trained.append(fit_word(feats.feats, feats.length, self.hmm,
+                                        seed=self.hmm.seed + w, mesh=mesh))
+            self.params = stack_params(trained)
+            return
+
+        per_word = [self.extract(corpus[lab]) for lab in self.labels]
+        n_max = max(f.feats.shape[0] for f in per_word)
+        w = len(per_word)
+        t, f_dim = per_word[0].feats.shape[1:]
+        feats_w = np.zeros((w, n_max, t, f_dim), np.float32)
+        lens_w = np.zeros((w, n_max), np.int32)     # zero-length = no weight
+        for i, fw in enumerate(per_word):
+            n = fw.feats.shape[0]
+            feats_w[i, :n] = np.asarray(fw.feats)
+            lens_w[i, :n] = np.asarray(fw.length)
+        seeds = np.asarray([self.hmm.seed + i for i in range(w)], np.int32)
+        fj, lj, sj = jnp.asarray(feats_w), jnp.asarray(lens_w), jnp.asarray(seeds)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from dsp_tpu.parallel.mesh import BANK_AXIS, DATA_AXIS
+
+            nb = mesh.shape[BANK_AXIS]
+            nd = mesh.shape[DATA_AXIS]
+            if w % nb == 0 and n_max % nd == 0:
+                fj = jax.device_put(
+                    fj, NamedSharding(mesh, P(BANK_AXIS, DATA_AXIS, None, None)))
+                lj = jax.device_put(lj, NamedSharding(mesh, P(BANK_AXIS, DATA_AXIS)))
+                sj = jax.device_put(sj, NamedSharding(mesh, P(BANK_AXIS)))
+        self.params = fit_words_batched(fj, lj, sj, self.hmm)
 
     def classify_batch(self, signals, return_scores: bool = False):
         if self.params is None:
@@ -401,14 +467,18 @@ class GmmHmmRecognizer:
     def save(self, path: str) -> None:
         if self.params is None:
             raise ValueError("model not fitted")
+        from dsp_tpu.models.knn_dtw import frontend_signature
         np.savez(path, labels=json.dumps(self.labels),
+                 frontend=json.dumps(frontend_signature(self.cfg)),
                  **{f: np.asarray(getattr(self.params, f))
                     for f in HmmParams._fields})
 
     @classmethod
     def load(cls, path: str, cfg: PipelineConfig = PipelineConfig(),
              hmm: HmmConfig = HmmConfig()):
+        from dsp_tpu.models.knn_dtw import check_frontend_signature
         data = np.load(path, allow_pickle=False)
+        check_frontend_signature(data, cfg, path)
         rec = cls(cfg, hmm)
         rec.labels = json.loads(str(data["labels"]))
         rec.params = HmmParams(*(jnp.asarray(data[f]) for f in HmmParams._fields))

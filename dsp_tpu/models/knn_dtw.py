@@ -26,14 +26,13 @@ class KnnDtwRecognizer:
     """Template-bank recognizer: enroll utterances, classify by DTW.
 
     Pass ``mesh`` (a `jax.sharding.Mesh` from `dsp_tpu.parallel.make_mesh`)
-    to run classification bank-sharded across devices (k=1 only); the
-    query batch and bank are padded to the mesh axes transparently.
+    to run classification bank-sharded across devices — including kNN
+    voting (per-shard top-k gather); the query batch and bank are padded
+    to the mesh axes transparently.
     """
 
     def __init__(self, cfg: PipelineConfig = PipelineConfig(), k: int = 1,
                  mesh=None, matcher: str = "dtw", ltw_len: int = 64):
-        if mesh is not None and k > 1:
-            raise ValueError("mesh-sharded classification supports k=1 only")
         if matcher not in ("dtw", "ltw"):
             raise ValueError(f"unknown matcher: {matcher}")
         self.cfg = cfg
@@ -162,13 +161,14 @@ class KnnDtwRecognizer:
         n_p = np.maximum(n_p, self.cfg.frontend.frame_len)
         xd, nd_ = par.shard_queries(self.mesh, x_p, n_p)
         bf, bl, ids, valid = self.sharded_bank()
-        label_ids, best = par.recognize_sharded(
-            self.mesh, xd, nd_, self.mats, bf, bl, ids, valid, cfg=self.cfg)
+        label_ids, dist = par.recognize_sharded(
+            self.mesh, xd, nd_, self.mats, bf, bl, ids, valid, cfg=self.cfg,
+            k=self.k, n_labels=len(self.labels),
+            return_full=return_distances)
         labels = [self.labels[int(i)] for i in np.asarray(label_ids)[:b_orig]]
         if return_distances:
-            # sharded path reduces to the best distance only (by design:
-            # the full matrix never leaves the shards)
-            return labels, np.asarray(best)[:b_orig]
+            # full [B, K] matrix gathered over the mesh (trim bank padding)
+            return labels, np.asarray(dist)[:b_orig, :self.n_templates]
         return labels
 
     def _classify_knn(self, x, n, bank, ids):
@@ -206,8 +206,13 @@ class KnnDtwRecognizer:
         condensed bank trades a little accuracy for proportional speed
         (the reference's optional template-averaging enrollment step).
         """
+        import dataclasses
+
         from dsp_tpu.ops import align as jalign
 
+        # medoid/DBA alignment runs unbanded: condensation is offline and
+        # the averaged templates are better with exact alignments
+        align_cfg = dataclasses.replace(self.cfg.dtw, band_frac=None)
         new_feats, new_lens, new_ids = [], [], []
         for label_id in range(len(self.labels)):
             idx = [i for i, l in enumerate(self._bank_label_ids)
@@ -217,11 +222,11 @@ class KnnDtwRecognizer:
             feats = jnp.asarray(np.stack([self._bank_feats[i] for i in idx]))
             lens = jnp.asarray(np.asarray([self._bank_lens[i] for i in idx],
                                           dtype=np.int32))
-            mi = int(jalign.medoid(feats, lens, self.cfg.dtw))
+            mi = int(jalign.medoid(feats, lens, align_cfg))
             center, len_c = feats[mi], lens[mi]
             if method == "dba" and len(idx) > 1:
                 center = jalign.dba_average(feats, lens, center, len_c,
-                                            n_iter, self.cfg.dtw)
+                                            n_iter, align_cfg)
             new_feats.append(np.asarray(center))
             new_lens.append(int(len_c))
             new_ids.append(label_id)
@@ -243,6 +248,7 @@ class KnnDtwRecognizer:
             k=self.k,
             matcher=self.matcher,
             ltw_len=self.ltw_len,
+            frontend=json.dumps(frontend_signature(self.cfg)),
         )
 
     @classmethod
@@ -250,9 +256,43 @@ class KnnDtwRecognizer:
         data = np.load(path, allow_pickle=False)
         matcher = str(data["matcher"]) if "matcher" in data.files else "dtw"
         ltw_len = int(data["ltw_len"]) if "ltw_len" in data.files else 64
+        check_frontend_signature(data, cfg, path)
         rec = cls(cfg, k=int(data["k"]), matcher=matcher, ltw_len=ltw_len)
         rec.labels = json.loads(str(data["labels"]))
         rec._bank_feats = [f for f in data["bank"]]
         rec._bank_lens = [int(v) for v in data["lens"]]
         rec._bank_label_ids = [int(v) for v in data["label_ids"]]
         return rec
+
+
+def frontend_signature(cfg: PipelineConfig) -> dict:
+    """The config fields that define the checkpoint's feature space."""
+    f = cfg.frontend
+    return {
+        "sample_rate": f.sample_rate,
+        "n_mfcc": f.n_mfcc,
+        "add_deltas": f.add_deltas,
+        "cmn": f.cmn,
+        "feature_type": f.feature_type,
+        "n_feats": f.n_feats,
+        "max_frames": cfg.max_frames,
+    }
+
+
+def check_frontend_signature(data, cfg: PipelineConfig, path: str) -> None:
+    """Refuse to load a bank whose features were extracted under a
+    different front-end: the mismatch would otherwise classify queries in
+    a silently different feature space (or die on a cryptic shape error).
+    Older checkpoints without the signature load unchecked."""
+    if "frontend" not in data.files:
+        return
+    saved = json.loads(str(data["frontend"]))
+    now = frontend_signature(cfg)
+    bad = {key: (saved[key], now[key])
+           for key in saved if key in now and saved[key] != now[key]}
+    if bad:
+        detail = ", ".join(f"{key}: checkpoint={a!r} vs cfg={b!r}"
+                           for key, (a, b) in bad.items())
+        raise ValueError(
+            f"checkpoint {path} was created with a different front-end "
+            f"config ({detail}); pass the matching PipelineConfig")

@@ -27,6 +27,12 @@ class StreamingRecognizer:
                  history_frames: int | None = None):
         self.rec = recognizer
         self.cfg: PipelineConfig = recognizer.cfg
+        if self.cfg.frontend.feature_type != "mfcc":
+            # the streaming front-end computes MFCC only; matching LPCC
+            # bank templates against MFCC queries would silently collapse
+            raise NotImplementedError(
+                "StreamingRecognizer supports feature_type='mfcc' only "
+                f"(got {self.cfg.frontend.feature_type!r})")
         self.chunk_len = chunk_len
         self.mats = recognizer.mats
         self.state = st.init_state(self.cfg.frontend, chunk_len)
@@ -59,11 +65,12 @@ class StreamingRecognizer:
 
         events = []
         ends = np.asarray(out.utt_end)
+        min_frames = self.cfg.vad.min_utterance_frames
         for t in np.nonzero(ends)[0]:
             start = int(np.asarray(out.utt_start_idx)[t])
             end = int(np.asarray(out.utt_end_idx)[t])
             end = min(end, self._offset + len(self._frames))
-            if end - start >= 3:
+            if end - start >= min_frames:
                 events.append(self._classify(start, end))
         self._trim_history()
         return events
@@ -77,6 +84,13 @@ class StreamingRecognizer:
         padded = np.zeros((t_max, seg.shape[1]), dtype=np.float32)
         padded[: len(seg)] = seg[:t_max]
         length = jnp.asarray(min(len(seg), t_max))
+        if self.cfg.frontend.cmn:
+            # mirror pipeline._extract_one: mean over the valid frames
+            # only, so streaming queries live in the same feature space
+            # as the CMN-normalised bank templates
+            valid = (np.arange(t_max) < int(length))[:, None]
+            mean = (padded * valid).sum(0, keepdims=True) / max(int(length), 1)
+            padded = np.where(valid, padded - mean, 0.0).astype(np.float32)
         feats = fe.add_deltas(jnp.asarray(padded), self.cfg.frontend, length)
         feats = jnp.where((jnp.arange(t_max) < length)[:, None], feats, 0.0)
         query = pl.Features(feats[None], length[None])
@@ -90,6 +104,6 @@ class StreamingRecognizer:
         if int(np.asarray(self.state.vad_state)) == st.SPEECH:
             start = int(np.asarray(self.state.utt_start))
             end = self._offset + len(self._frames)
-            if end - start >= 3:
+            if end - start >= self.cfg.vad.min_utterance_frames:
                 return [self._classify(start, end)]
         return []

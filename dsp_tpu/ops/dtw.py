@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from dsp_tpu.config import DtwConfig
+from dsp_tpu.window_plan import LANE, plan_window, round_up as _round_up
 
 BIG = 1e30
 
@@ -112,7 +113,53 @@ def masked_cost(a: jax.Array, b: jax.Array, len_a: jax.Array, len_b: jax.Array,
         lbm1 = (len_b - 1).astype(jnp.int32)
         r2 = band_r2(len_a, len_b, cfg.band_frac)
         invalid = invalid | (jnp.abs(j.astype(jnp.int32) * lam1 - i * lbm1) > r2)
+        invalid = invalid | ~window_valid(t, u, len_a, len_b, r2, cfg)
     return jnp.where(invalid, jnp.asarray(cfg.big, cost.dtype), cost)
+
+
+def window_offsets(t: int, u: int, len_a: jax.Array, len_b: jax.Array,
+                   r2: jax.Array, cfg: DtwConfig):
+    """Per-row-block window starts of the banded window schedule.
+
+    The same integer recursion as the Pallas kernel (and the golden
+    oracle): off quantised to 8 lanes, -8 slack, right edge clipped to
+    len_b, advance clamped to S_MAX per block.  Returns (offs [nb], w,
+    row_block) or None when the window is the full row.
+    """
+    w, s_max, _, rb, _ = plan_window(cfg.band_frac, t, u, cfg.max_warp_scale)
+    if w >= _round_up(u, LANE):
+        return None
+    lam1 = jnp.maximum(len_a - 1, 1).astype(jnp.int32)
+    lbm1 = (len_b - 1).astype(jnp.int32)
+    nb = -(-t // rb)
+    i0 = jnp.arange(nb, dtype=jnp.int32) * rb
+    num = jnp.maximum(i0 * lbm1 - r2, 0)
+    jlo = (num + lam1 - 1) // lam1
+    off_raw = jnp.maximum((jlo // 8) * 8 - 8, 0)
+    clip8 = ((jnp.maximum(len_b - w, 0) + 7) // 8) * 8
+    off_raw = jnp.minimum(off_raw, clip8)
+
+    def clamp(prev, x):
+        off = jnp.minimum(x, prev + s_max)
+        return off, off
+
+    _, offs = jax.lax.scan(clamp, jnp.asarray(0, jnp.int32), off_raw)
+    return offs, w, rb
+
+
+def window_valid(t: int, u: int, len_a: jax.Array, len_b: jax.Array,
+                 r2: jax.Array, cfg: DtwConfig) -> jax.Array:
+    """[t, u] bool: cell inside the banded window schedule (True if the
+    schedule is disabled or the window is the full row)."""
+    if cfg.max_warp_scale is None:
+        return jnp.ones((t, u), dtype=bool)
+    plan = window_offsets(t, u, len_a, len_b, r2, cfg)
+    if plan is None:
+        return jnp.ones((t, u), dtype=bool)
+    offs, w, rb = plan
+    off_i = offs[jnp.arange(t) // rb][:, None]               # [t, 1]
+    j = jnp.arange(u, dtype=jnp.int32)[None, :]
+    return (j >= off_i) & (j < off_i + w)
 
 
 def dtw_distance(a: jax.Array, b: jax.Array,

@@ -205,3 +205,24 @@ def process_chunk_batch(state: StreamState, chunks: jax.Array,
         return process_chunk(st, ck, mats, fcfg, vcfg, chunk_len)
 
     return jax.vmap(one)(state, chunks)
+
+
+def shard_streams(mesh, state: StreamState, chunks):
+    """Place S concurrent streams on the mesh data axis (S % data == 0).
+
+    Streams are embarrassingly data-parallel: after placement the same
+    ``process_chunk_batch`` program runs with every per-stream state leaf
+    sharded on its leading axis — XLA partitions the vmapped front-end +
+    VAD with zero collectives.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dsp_tpu.parallel.mesh import DATA_AXIS
+
+    def put(a):
+        a = np.asarray(a)
+        spec = P(DATA_AXIS, *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, state), put(chunks)

@@ -63,24 +63,42 @@ def is_primary() -> bool:
 def all_hosts_agree(value: float, atol: float = 0.0) -> bool:
     """Cross-host consistency check for replicated scalars (e.g. accuracy).
 
-    Uses one tiny psum over all devices; with fully replicated inputs the
-    mean must equal the local value.
+    Compares the global min against the global max — unlike a mean test
+    this cannot be fooled by disagreements that average out.
     """
-    arr = jnp_mean_across_hosts(value)
-    return bool(abs(arr - value) <= atol + 1e-9 * abs(value))
+    lo, hi = _min_max_across_hosts(value)
+    return bool(abs(hi - lo) <= atol + 1e-9 * abs(value))
 
 
 def jnp_mean_across_hosts(value: float) -> float:
+    """Mean of a per-host scalar over all global devices."""
     import jax.numpy as jnp
-    from jax.sharding import Mesh, PartitionSpec as P
+
+    return float(jnp.mean(_global_scalar_array(value)))
+
+
+def _min_max_across_hosts(value: float):
+    import jax.numpy as jnp
+
+    arr = _global_scalar_array(value)
+    return float(jnp.min(arr)), float(jnp.max(arr))
+
+
+def _global_scalar_array(value: float):
+    """One f32 per local device, assembled into a global device array.
+
+    Built with `jax.make_array_from_process_local_data` so multi-process
+    runs contribute only their addressable shards (a process-local
+    jnp.full over a global mesh is rejected by shard_map there).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     devices = np.asarray(jax.devices())
     mesh = Mesh(devices.reshape(-1), ("all",))
-    x = jnp.full((len(devices),), float(value), dtype=jnp.float32)
-
-    def mean(v):
-        return jax.lax.pmean(v[0], "all")
-
-    out = jax.shard_map(mean, mesh=mesh, in_specs=(P("all"),), out_specs=P(),
-                        check_vma=False)(x)
-    return float(out)
+    sharding = NamedSharding(mesh, P("all"))
+    local = np.full((len(jax.local_devices()),), float(value),
+                    dtype=np.float32)
+    arr = jax.make_array_from_process_local_data(
+        sharding, local, global_shape=(len(devices),))
+    return jnp.asarray(arr)

@@ -40,6 +40,9 @@ def classify_sharded(
     bank_valid: jax.Array | None = None,
     cfg: DtwConfig = DtwConfig(),
     precision=jax.lax.Precision.HIGHEST,
+    k: int = 1,
+    n_labels: int | None = None,
+    return_full: bool = False,
 ):
     """All-pairs DTW classify over a ('data','bank') mesh.
 
@@ -48,40 +51,64 @@ def classify_sharded(
       bank/bank_lens: [K, U, F] / [K], K divisible by mesh 'bank' size.
       bank_label_ids: [K] int32, replicated.
       bank_valid: [K] bool; False marks padding templates (excluded).
+      k: kNN votes; k>1 gathers per-shard top-k (2k scalars/query/shard
+         over ICI) and votes on the union — exactly matching the
+         single-device kNN (requires n_labels).
+      return_full: also all_gather the full distance matrix [B, K]
+         (K*4 bytes/query over ICI — fine for classification-size banks;
+         off by default to keep the reduction at 2k scalars).
 
-    Returns (label_ids [B], best_dist [B]).
+    Returns (label_ids [B], best_dist [B]) — or (label_ids, dists [B, K])
+    with return_full.
     """
     if bank_valid is None:
         bank_valid = jnp.ones(bank.shape[0], dtype=bool)
+    if k > 1 and n_labels is None:
+        raise ValueError("n_labels required for k > 1")
+    kk = max(1, k)
 
     def local(q, ql, b, bl, bv):
         # q [Bl,T,F], b [Kl,U,F]; all other operands replicated
         kl = b.shape[0]
         d = jdtw.dtw_batch(q, ql, b, bl, cfg, precision)         # [Bl, Kl]
         d = jnp.where(bv[None, :], d, BIG)
-        larg = jnp.argmin(d, axis=-1)                            # [Bl]
-        lmin = jnp.take_along_axis(d, larg[:, None], axis=-1)[:, 0]
+        # per-shard top-k, then a tiny cross-shard gather of 2k
+        # scalars/query/shard over ICI — never the full matrix
+        neg_top, larg = jax.lax.top_k(-d, min(kk, kl))           # [Bl, k]
+        lmin = -neg_top
         offset = jax.lax.axis_index(BANK_AXIS) * kl
         gidx = offset + larg
-        # tiny cross-shard reduction: 2 scalars/query/shard over ICI
-        mins = jax.lax.all_gather(lmin, BANK_AXIS, axis=-1, tiled=False)  # [Bl, nb]
-        idxs = jax.lax.all_gather(gidx, BANK_AXIS, axis=-1, tiled=False)
-        sel = jnp.argmin(mins, axis=-1)
-        best_dist = jnp.take_along_axis(mins, sel[:, None], axis=-1)[:, 0]
-        best_idx = jnp.take_along_axis(idxs, sel[:, None], axis=-1)[:, 0]
-        return best_idx, best_dist
+        mins = jax.lax.all_gather(lmin, BANK_AXIS, axis=-1,
+                                  tiled=True)                    # [Bl, nb*k]
+        idxs = jax.lax.all_gather(gidx, BANK_AXIS, axis=-1, tiled=True)
+        neg_sel, sel = jax.lax.top_k(-mins, kk)                  # global top-k
+        top_d = -neg_sel
+        top_idx = jnp.take_along_axis(idxs, sel, axis=-1)
+        if return_full:
+            full = jax.lax.all_gather(d, BANK_AXIS, axis=-1, tiled=True)
+            return top_idx, top_d, full
+        return top_idx, top_d
 
+    out_specs = ((P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
+                 if return_full else (P(DATA_AXIS), P(DATA_AXIS)))
     mapped = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(BANK_AXIS), P(BANK_AXIS), P(BANK_AXIS)),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=out_specs,
         # outputs are replicated over 'bank' by the all_gather+argmin, but
         # that cannot be statically inferred — disable the vma check
         check_vma=False,
     )
-    best_idx, best_dist = mapped(queries, q_lens, bank, bank_lens, bank_valid)
-    return jnp.take(bank_label_ids, best_idx), best_dist
+    out = mapped(queries, q_lens, bank, bank_lens, bank_valid)
+    top_idx, top_d = out[0], out[1]
+    if k > 1:
+        label_ids = pl.vote_topk(top_d, jnp.take(bank_label_ids, top_idx),
+                                 n_labels)
+    else:
+        label_ids = jnp.take(bank_label_ids, top_idx[:, 0])
+    dist = out[2] if return_full else top_d[:, 0]
+    return label_ids, dist
 
 
 def recognize_sharded(
@@ -93,14 +120,18 @@ def recognize_sharded(
     bank_valid: jax.Array | None = None,
     cfg: PipelineConfig = PipelineConfig(),
     precision=jax.lax.Precision.HIGHEST,
+    k: int = 1,
+    n_labels: int | None = None,
+    return_full: bool = False,
 ):
     """Full device pipeline over the mesh: padded signals -> labels.
 
     Feature extraction is embarrassingly data-parallel (jit propagates the
     'data' sharding through the vmapped front-end with zero collectives);
-    classification is the bank-sharded argmin above.
+    classification is the bank-sharded top-k reduction above.
     """
     feats = pl.extract_features(signals, n_samples, mats, cfg, precision)
     return classify_sharded(
         mesh, feats.feats, feats.length, bank_feats, bank_lens,
-        bank_label_ids, bank_valid, cfg.dtw, precision)
+        bank_label_ids, bank_valid, cfg.dtw, precision,
+        k=k, n_labels=n_labels, return_full=return_full)

@@ -44,16 +44,22 @@ def pad_signals(signals, max_samples: int):
 
 
 def _extract_one(x: jax.Array, n_samples: jax.Array, mats: fe.FrontendMatrices,
-                 cfg: PipelineConfig, precision) -> Features:
-    """Single padded signal [max_samples] -> trimmed, masked features."""
+                 cfg: PipelineConfig, precision,
+                 c: jax.Array | None = None) -> Features:
+    """Single padded signal [max_samples] -> trimmed, masked features.
+
+    ``c`` carries precomputed cepstra (the Pallas front-end computes them
+    batch-wise outside the vmap); None computes them here in XLA.
+    """
     f = cfg.frontend
     t_max = cfg.max_frames
 
-    if f.feature_type == "lpcc":
-        from dsp_tpu.ops.lpc import lpcc
-        c = lpcc(x, f)                                           # [T, C]
-    else:
-        c = fe.mfcc(x, f, mats, use_fft=False, precision=precision)  # [T, C]
+    if c is None:
+        if f.feature_type == "lpcc":
+            from dsp_tpu.ops.lpc import lpcc
+            c = lpcc(x, f)                                       # [T, C]
+        else:
+            c = fe.mfcc(x, f, mats, use_fft=False, precision=precision)
     n_frames = jnp.maximum(0, 1 + (n_samples - f.frame_len) // f.hop_len)
 
     if cfg.use_vad:
@@ -80,6 +86,12 @@ def extract_features(signals: jax.Array, n_samples: jax.Array,
                      precision=jax.lax.Precision.HIGHEST) -> Features:
     """Padded signal batch [B, max_samples] + true lengths [B] -> Features."""
     one = functools.partial(_extract_one, mats=mats, cfg=cfg, precision=precision)
+    if (cfg.frontend.impl == "pallas"
+            and cfg.frontend.feature_type == "mfcc"
+            and jax.default_backend() == "tpu"):
+        from dsp_tpu.kernels.mfcc_pallas import mfcc_pallas
+        c_all = mfcc_pallas(signals, cfg.frontend)      # [B, T, n_mfcc]
+        return jax.vmap(one)(signals, n_samples, c=c_all)
     return jax.vmap(one)(signals, n_samples)
 
 
@@ -96,14 +108,12 @@ def classify_features(feats: Features, bank: Features, bank_label_ids: jax.Array
     """
     impl = cfg.dtw.impl
     if impl == "auto":
-        # fused banded kernel on TPU when the band is statically windowable
-        # (same distances as the scan under coverage); scan otherwise
-        from dsp_tpu.kernels.dtw_fused_banded import plan_window
-        covered = (cfg.dtw.band_frac is not None
-                   and plan_window(cfg.dtw.band_frac, feats.feats.shape[1],
-                                   bank.feats.shape[1])[4])
+        # fused banded kernel on TPU; identical distances to the scan —
+        # both implement the windowed band (DtwConfig.max_warp_scale)
         impl = ("fused_banded"
-                if covered and jax.default_backend() == "tpu" else "scan")
+                if (cfg.dtw.band_frac is not None
+                    and cfg.dtw.max_warp_scale is not None
+                    and jax.default_backend() == "tpu") else "scan")
     if impl == "fused_banded":
         from dsp_tpu.kernels.dtw_fused_banded import dtw_batch_fused_banded
         dists = dtw_batch_fused_banded(feats.feats, feats.length,
@@ -124,15 +134,40 @@ def classify_features(feats: Features, bank: Features, bank_label_ids: jax.Array
         return jnp.take(bank_label_ids, best), dists
     if n_labels is None:
         raise ValueError("n_labels required for k > 1")
-    # kNN vote: one-hot scatter of the k smallest distances per query
+    return knn_vote(dists, bank_label_ids, n_labels, k), dists
+
+
+def knn_vote(dists: jax.Array, bank_label_ids: jax.Array,
+             n_labels: int, k: int) -> jax.Array:
+    """kNN majority vote over distances [B, K] -> label ids [B].
+
+    Ties are broken lexicographically — (votes desc, distance-sum asc) —
+    by restricting the distance comparison to max-vote labels; an
+    epsilon-blend score silently flips the vote order once distance sums
+    grow ~1e6x past the vote gap.
+    """
     _, top_idx = jax.lax.top_k(-dists, k)                     # [B, k]
     top_labels = jnp.take(bank_label_ids, top_idx)            # [B, k]
-    votes = jax.nn.one_hot(top_labels, n_labels).sum(axis=1)  # [B, L]
     top_d = jnp.take_along_axis(dists, top_idx, axis=1)       # [B, k]
-    dist_sum = (jax.nn.one_hot(top_labels, n_labels) * top_d[..., None]).sum(axis=1)
-    # order by (votes desc, dist_sum asc): score = votes - eps*dist_sum
-    score = votes - 1e-6 * dist_sum
-    return jnp.argmax(score, axis=-1), dists
+    return vote_topk(top_d, top_labels, n_labels)
+
+
+def vote_topk(top_d: jax.Array, top_labels: jax.Array,
+              n_labels: int) -> jax.Array:
+    """Majority vote over already-selected candidates [B, k] -> ids [B].
+
+    Shared by the single-device path above and the mesh path (which
+    gathers per-shard top-k candidates instead of full distance rows).
+    """
+    onehot = jax.nn.one_hot(top_labels, n_labels)             # [B, k, L]
+    # candidates at ~BIG are masked cells (unreachable banded pairs,
+    # mesh padding templates) — they must not cast votes
+    live = (top_d < jdtw.BIG / 2).astype(onehot.dtype)[..., None]
+    onehot = onehot * live
+    votes = onehot.sum(axis=1)                                # [B, L]
+    dist_sum = (onehot * top_d[..., None]).sum(axis=1)        # [B, L]
+    tied = votes == jnp.max(votes, axis=-1, keepdims=True)
+    return jnp.argmin(jnp.where(tied, dist_sum, jnp.inf), axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("target_len", "precision"))

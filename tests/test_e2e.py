@@ -53,7 +53,13 @@ def test_recognize_matches_golden_label(recognizer):
         want_label, want_d = gpipe.recognize(x, gold_bank, CFG)
         got_labels, got_d = recognizer.classify_batch([x], return_distances=True)
         assert got_labels[0] == want_label
-        np.testing.assert_allclose(got_d[0], np.asarray(want_d), rtol=5e-3, atol=5e-3)
+        want_d = np.asarray(want_d)
+        # windowed-band unreachable pairs accumulate BIG differently per
+        # impl — compare finiteness there, values elsewhere
+        fin = (want_d < 1e20) & (got_d[0] < 1e20)
+        assert ((want_d >= 1e20) == (got_d[0] >= 1e20)).all()
+        np.testing.assert_allclose(got_d[0][fin], want_d[fin],
+                                   rtol=5e-3, atol=5e-3)
 
 
 def test_holdout_accuracy(recognizer):

@@ -23,8 +23,7 @@ RNG = np.random.default_rng(7)
 def _oracle(q, ql, bk, bl, cfg):
     b, k = len(ql), len(bl)
     t, u = q.shape[1], bk.shape[1]
-    w, s_max, _, rb, _ = plan_window(cfg.band_frac, t, u)
-    u_pad = _round_up(u, LANE)
+    w, s_max, _, rb, _ = plan_window(cfg.band_frac, t, u, cfg.max_warp_scale)
     ref = np.zeros((b, k))
     for i in range(b):
         for j in range(k):
@@ -33,7 +32,7 @@ def _oracle(q, ql, bk, bl, cfg):
             else:
                 mask = gdtw.windowed_band_mask(
                     int(ql[i]), int(bl[j]), cfg.band_frac,
-                    window=w, row_block=rb, s_max=s_max, u_pad=u_pad)
+                    window=w, row_block=rb, s_max=s_max)
                 ref[i, j] = gdtw.dtw_distance_masked(
                     q[i, :ql[i]], bk[j, :bl[j]], mask, squared=cfg.squared)
     return ref
@@ -71,7 +70,7 @@ def test_windowed_offsets_advance(squared):
     bk = RNG.normal(size=(3, 300, 5)).astype(np.float32)
     ql = np.array([120, 77], np.int32)
     bl = np.array([300, 150, 222], np.int32)
-    w, _, _, _, _ = plan_window(cfg.band_frac, 120, 300)
+    w, _, _, _, _ = plan_window(cfg.band_frac, 120, 300, cfg.max_warp_scale)
     assert w < _round_up(300, LANE), "test must exercise a sliding window"
     _assert_close(_run(q, ql, bk, bl, cfg), _oracle(q, ql, bk, bl, cfg))
 

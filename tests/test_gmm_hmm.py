@@ -8,7 +8,7 @@ import pytest
 
 from dsp_tpu.config import HmmConfig, PipelineConfig
 from dsp_tpu.models import gmm_hmm as gh
-from dsp_tpu.io.dataset import make_corpus
+from dsp_tpu.io.dataset import make_corpus, synth_word
 
 HCFG = HmmConfig(n_states=4, n_mix=2, n_iter=5)
 
@@ -156,7 +156,7 @@ def test_forward_backward_consistency():
 
 def test_baum_welch_increases_likelihood_and_recognizes():
     labels = ["zero", "one", "two"]
-    from dsp_tpu.io.dataset import make_corpus
+    from dsp_tpu.io.dataset import make_corpus, synth_word
     cfg_bw = HmmConfig(n_states=4, n_mix=2, n_iter=5, train_mode="baum_welch")
     train = make_corpus(labels, n_per_word=5, seed=0)
     from dsp_tpu.config import PipelineConfig
@@ -182,7 +182,7 @@ def test_baum_welch_increases_likelihood_and_recognizes():
 def test_fit_with_mesh_matches_single_device():
     """GmmHmmRecognizer.fit(mesh=...) == fit() parameters (ragged N)."""
     from dsp_tpu import parallel as par
-    from dsp_tpu.io.dataset import make_corpus
+    from dsp_tpu.io.dataset import make_corpus, synth_word
     from dsp_tpu.config import PipelineConfig
 
     corpus = make_corpus(["zero", "one"], n_per_word=5, seed=0)  # 5 % 4 != 0
@@ -201,3 +201,43 @@ def test_fit_with_mesh_matches_single_device():
     from dsp_tpu.io.dataset import synth_word
     probes = [synth_word(w, 77 + i) for i, w in enumerate(["zero", "one"])]
     assert sharded.classify_batch(probes) == plain.classify_batch(probes)
+
+
+def test_batched_fit_matches_per_word_loop():
+    """fit_words_batched (one program) == the per-word host loop (same
+    seeds): round-1 review item 'batch per-word HMM training'."""
+    import dataclasses
+
+    corpus = {lab: [synth_word(lab, i) for i in range(3)]
+              for lab in ["zero", "one", "two"]}
+    hmm = HmmConfig(n_states=3, n_mix=2, n_iter=3)
+    rec_loop = gh.GmmHmmRecognizer(PipelineConfig(), hmm)
+    rec_loop.fit(corpus, batched=False)
+    rec_batch = gh.GmmHmmRecognizer(PipelineConfig(), hmm)
+    rec_batch.fit(corpus)
+    assert rec_loop.labels == rec_batch.labels
+    for f in rec_loop.params._fields:
+        a = np.asarray(getattr(rec_loop.params, f))
+        b = np.asarray(getattr(rec_batch.params, f))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=f)
+    # and both decode the training corpus identically
+    sigs = [x for xs in corpus.values() for x in xs]
+    assert rec_loop.classify_batch(sigs) == rec_batch.classify_batch(sigs)
+
+
+def test_batched_fit_on_mesh():
+    """Words x utterances sharded over a ('data','bank') mesh."""
+    from dsp_tpu import parallel as par
+
+    corpus = {lab: [synth_word(lab, i) for i in range(2)]
+              for lab in ["zero", "one", "two", "three"]}
+    hmm = HmmConfig(n_states=3, n_mix=2, n_iter=2)
+    plain = gh.GmmHmmRecognizer(PipelineConfig(), hmm)
+    plain.fit(corpus)
+    meshed = gh.GmmHmmRecognizer(PipelineConfig(), hmm)
+    meshed.fit(corpus, mesh=par.make_mesh(2, 4))
+    for f in plain.params._fields:
+        # partitioned matmul/psum reassociation: ~1e-3 f32 noise
+        np.testing.assert_allclose(np.asarray(getattr(plain.params, f)),
+                                   np.asarray(getattr(meshed.params, f)),
+                                   rtol=5e-3, atol=5e-3, err_msg=f)

@@ -69,3 +69,30 @@ def test_ltw_checkpoint_roundtrip(tmp_path):
     assert loaded.matcher == "ltw" and loaded.ltw_len == 48
     x = synth_word("one", 3)
     assert loaded.recognize(x) == rec.recognize(x)
+
+
+def test_checkpoint_frontend_signature_mismatch_raises(tmp_path):
+    """Loading a bank under a different front-end config must fail loudly
+    (round-1 advisor finding: silent feature-space mismatch)."""
+    import dataclasses
+
+    import pytest
+
+    from dsp_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    rec = KnnDtwRecognizer(cfg)
+    rec.enroll("zero", [synth_word("zero", 0)])
+    path = str(tmp_path / "bank.npz")
+    rec.save(path)
+    # same config loads fine
+    KnnDtwRecognizer.load(path, cfg)
+    # different feature space refuses
+    bad = dataclasses.replace(
+        cfg, frontend=dataclasses.replace(cfg.frontend, cmn=True))
+    with pytest.raises(ValueError, match="front-end"):
+        KnnDtwRecognizer.load(path, bad)
+    bad2 = dataclasses.replace(
+        cfg, frontend=dataclasses.replace(cfg.frontend, n_mfcc=20))
+    with pytest.raises(ValueError, match="n_mfcc|n_feats"):
+        KnnDtwRecognizer.load(path, bad2)

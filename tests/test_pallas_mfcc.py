@@ -50,3 +50,35 @@ def test_kernel_ragged_tile_padding():
     want = np.asarray(fe.mfcc_from_frames(jnp.asarray(frames), mats, CFG))
     got = np.asarray(mfcc_frames_pallas(jnp.asarray(frames), CFG, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_kernel_use_energy_matches_ops():
+    """use_energy=True replaces c0 with log frame energy (round-1 advisor
+    finding: the kernel silently ignored the flag)."""
+    import dataclasses
+
+    cfg_e = dataclasses.replace(CFG, use_energy=True)
+    x = synth_word("three", 4)
+    want = np.asarray(fe.mfcc(jnp.asarray(x), cfg_e))
+    got = np.asarray(mfcc_pallas(jnp.asarray(x), cfg_e, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_impl_dispatch_cpu_fallback():
+    """FrontendConfig(impl='pallas') on a non-TPU backend falls back to
+    the XLA composite (identical features, no pallas lowering error)."""
+    import dataclasses
+
+    from dsp_tpu import pipeline as pl
+    from dsp_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    cfg_p = dataclasses.replace(
+        cfg, frontend=dataclasses.replace(cfg.frontend, impl="pallas"))
+    mats = fe.make_matrices(cfg.frontend)
+    x = jnp.asarray(np.stack([synth_word("one", 1), synth_word("two", 2)]))
+    n = jnp.full(2, x.shape[1], jnp.int32)
+    a = pl.extract_features(x, n, mats, cfg)
+    b = pl.extract_features(x, n, mats, cfg_p)
+    np.testing.assert_allclose(np.asarray(a.feats), np.asarray(b.feats),
+                               rtol=1e-5, atol=1e-5)

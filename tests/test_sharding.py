@@ -127,3 +127,61 @@ def test_multihost_helpers_single_process():
     multihost.initialize()          # no-op single host
     assert multihost.is_primary()
     assert multihost.all_hosts_agree(0.875)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (1, 8)])
+def test_sharded_knn_k3_matches_single_device(shape):
+    """Mesh kNN (per-shard top-k gather + vote) == single-device kNN
+    (round-1 review item: the mesh path used to reject k>1)."""
+    from dsp_tpu.pipeline import knn_vote
+
+    rng = np.random.default_rng(3)
+    q, ql, bank, bl, ids = _random_problem(rng, b=8, k=8)
+    n_labels = int(ids.max()) + 1
+    d = np.asarray(jdtw.dtw_batch(jnp.asarray(q), jnp.asarray(ql),
+                                  jnp.asarray(bank), jnp.asarray(bl)))
+    want = np.asarray(knn_vote(jnp.asarray(d), jnp.asarray(ids),
+                               n_labels=n_labels, k=3))
+
+    mesh = par.make_mesh(*shape)
+    qd, qld = par.shard_queries(mesh, q, ql)
+    bd, bld = par.shard_bank(mesh, bank, bl)
+    idsd = par.replicate(mesh, ids)
+    got, _ = par.classify_sharded(mesh, qd, qld, bd, bld, idsd,
+                                  k=3, n_labels=n_labels)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_sharded_full_distances_match_single_device():
+    rng = np.random.default_rng(4)
+    q, ql, bank, bl, ids = _random_problem(rng)
+    want = np.asarray(jdtw.dtw_batch(jnp.asarray(q), jnp.asarray(ql),
+                                     jnp.asarray(bank), jnp.asarray(bl)))
+    mesh = par.make_mesh(2, 4)
+    qd, qld = par.shard_queries(mesh, q, ql)
+    bd, bld = par.shard_bank(mesh, bank, bl)
+    idsd = par.replicate(mesh, ids)
+    _, dists = par.classify_sharded(mesh, qd, qld, bd, bld, idsd,
+                                    return_full=True)
+    np.testing.assert_allclose(np.asarray(dists), want, rtol=1e-6)
+
+
+def test_recognizer_mesh_knn_and_distances():
+    """KnnDtwRecognizer(mesh=..., k=3) matches the single-device
+    recognizer, and mesh return_distances now yields the full [B, K]."""
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    mesh = par.make_mesh(2, 4)
+    labels = ["zero", "one", "two"]
+    single = KnnDtwRecognizer(CFG, k=3)
+    meshed = KnnDtwRecognizer(CFG, k=3, mesh=mesh)
+    for lab in labels:
+        sigs = [synth_word(lab, i) for i in range(2)]
+        single.enroll(lab, sigs)
+        meshed.enroll(lab, sigs)
+    queries = [synth_word(lab, 50 + i) for i, lab in enumerate(labels * 2)]
+    want, want_d = single.classify_batch(queries, return_distances=True)
+    got, got_d = meshed.classify_batch(queries, return_distances=True)
+    assert got == want
+    assert got_d.shape == want_d.shape
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-5)

@@ -179,3 +179,83 @@ def test_long_stream_bounded_memory():
         events += stream.feed(sig[c * CHUNK:(c + 1) * CHUNK].astype(np.float32))
     events += stream.flush()
     assert [e[0] for e in events] == ["one"], events
+
+
+def test_sharded_streams_match_single_device():
+    """Streams sharded over the mesh data axis == unsharded batch."""
+    import jax
+
+    from dsp_tpu import parallel as par
+    from dsp_tpu.ops import streaming as st
+    from dsp_tpu.ops import frontend as fe
+
+    rng = np.random.default_rng(11)
+    s_streams, n_chunks = 8, 4
+    sigs = 0.01 * rng.standard_normal((s_streams, n_chunks * CHUNK))
+    for i in range(s_streams):
+        w = synth_word("one", 100 + i, max_samples=CHUNK * 2)
+        sigs[i, CHUNK:CHUNK + len(w)] += w
+    sigs = sigs.astype(np.float32)
+    mats = fe.make_matrices(FCFG)
+
+    state = st.init_state_batch(s_streams, FCFG, CHUNK)
+    outs_plain = []
+    for c in range(n_chunks):
+        state, out = st.process_chunk_batch(
+            state, jnp.asarray(sigs[:, c * CHUNK:(c + 1) * CHUNK]),
+            mats, FCFG, VCFG, CHUNK)
+        outs_plain.append(out)
+
+    mesh = par.make_mesh(4, 2)
+    state_s = st.init_state_batch(s_streams, FCFG, CHUNK)
+    for c in range(n_chunks):
+        state_s, chunks_s = st.shard_streams(
+            mesh, state_s, sigs[:, c * CHUNK:(c + 1) * CHUNK])
+        state_s, out_s = st.process_chunk_batch(
+            state_s, chunks_s, mats, FCFG, VCFG, CHUNK)
+        for a, b in zip(jax.tree.leaves(outs_plain[c]), jax.tree.leaves(out_s)):
+            # partitioned matmuls reassociate f32 sums: ~1e-4 abs noise
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-2)
+
+
+def test_streaming_cmn_matches_offline_pipeline():
+    """With cfg.frontend.cmn the streaming classifier must normalise its
+    queries like the offline pipeline (round-1 advisor medium finding:
+    it silently matched un-normalised queries against a CMN bank)."""
+    import dataclasses
+
+    cfg = PipelineConfig()
+    cfg = dataclasses.replace(
+        cfg, frontend=dataclasses.replace(cfg.frontend, cmn=True))
+    labels = ["zero", "one", "two"]
+    rec = KnnDtwRecognizer(cfg)
+    for lab in labels:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(2)])
+
+    rng = np.random.default_rng(5)
+    sig = 0.002 * rng.standard_normal(16000 * 3)
+    w = synth_word("one", 77, max_samples=24000)
+    sig[8000:8000 + len(w)] += w
+    sig = sig.astype(np.float32)
+
+    stream = StreamingRecognizer(rec, CHUNK)
+    events = []
+    for c in range(len(sig) // CHUNK):
+        events += stream.feed(sig[c * CHUNK:(c + 1) * CHUNK])
+    events += stream.flush()
+    assert [e[0] for e in events] == ["one"], events
+
+
+def test_streaming_rejects_lpcc():
+    import dataclasses
+
+    import pytest
+
+    cfg = PipelineConfig()
+    cfg = dataclasses.replace(
+        cfg, frontend=dataclasses.replace(cfg.frontend, feature_type="lpcc"))
+    rec = KnnDtwRecognizer(cfg)
+    rec.enroll("zero", [synth_word("zero", 0)])
+    with pytest.raises(NotImplementedError, match="mfcc"):
+        StreamingRecognizer(rec, CHUNK)

@@ -1,0 +1,47 @@
+"""Regression tests for the kNN tie-break and the multi-host agreement
+check (round-1 review items: an epsilon-blend vote score flips once
+distance sums dwarf the vote gap; a pmean-based agreement check cannot
+distinguish 'all agree' from errors that average out)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from dsp_tpu.parallel import multihost
+from dsp_tpu.pipeline import knn_vote
+
+
+def test_knn_vote_majority_beats_huge_distances():
+    """Label 0 has 2 votes with ~1e7 distances; label 1 has 1 vote with a
+    tiny distance.  Majority must win regardless of distance magnitude
+    (the old epsilon score flipped here)."""
+    dists = jnp.asarray([[1.0e7, 1.1e7, 1.0e-3, 5.0e7]])
+    ids = jnp.asarray([0, 0, 1, 1], dtype=jnp.int32)
+    got = np.asarray(knn_vote(dists, ids, n_labels=2, k=3))
+    assert got[0] == 0
+
+
+def test_knn_vote_distance_breaks_exact_ties():
+    """Equal votes -> smaller summed distance wins."""
+    dists = jnp.asarray([[3.0, 9.0, 4.0, 5.0]])
+    ids = jnp.asarray([0, 0, 1, 1], dtype=jnp.int32)   # sums: 12 vs 9
+    got = np.asarray(knn_vote(dists, ids, n_labels=2, k=4))
+    assert got[0] == 1
+
+
+def test_knn_vote_ignores_nontop_labels():
+    dists = jnp.asarray([[0.1, 0.2, 99.0, 98.0, 0.15]])
+    ids = jnp.asarray([2, 2, 0, 1, 2], dtype=jnp.int32)
+    got = np.asarray(knn_vote(dists, ids, n_labels=3, k=3))
+    assert got[0] == 2
+
+
+def test_all_hosts_agree_single_process():
+    assert multihost.all_hosts_agree(0.5)
+    assert multihost.all_hosts_agree(123.0, atol=0.1)
+
+
+def test_min_max_across_hosts_is_exact():
+    lo, hi = multihost._min_max_across_hosts(0.75)
+    assert lo == hi == 0.75
+    assert multihost.jnp_mean_across_hosts(2.0) == 2.0
