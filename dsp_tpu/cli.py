@@ -73,6 +73,12 @@ def _add_common(p: argparse.ArgumentParser):
                    help="auto = fused banded Pallas kernel on TPU, "
                         "XLA scan elsewhere")
     p.add_argument("--k", type=int, default=1, help="kNN votes")
+    p.add_argument("--matcher", choices=["dtw", "ltw", "cascade"],
+                   default="dtw",
+                   help="cascade = LTW shortlist -> DTW rerank (faster on "
+                        "large banks, near-exact)")
+    p.add_argument("--shortlist", type=int, default=8,
+                   help="cascade: DTW-rerank candidates per query")
     p.add_argument("--metrics-out", default=None,
                    help="write run metrics JSON to this path")
     p.add_argument("--mesh", action="store_true",
@@ -107,7 +113,8 @@ def cmd_make_corpus(args):
 def cmd_enroll(args):
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
     cfg = _pipeline_cfg(args)
-    rec = KnnDtwRecognizer(cfg, k=args.k)
+    rec = KnnDtwRecognizer(cfg, k=args.k, matcher=args.matcher,
+                           shortlist=args.shortlist)
     corpus = _load_corpus(args.corpus, args.sr)
     for lab, sigs in sorted(corpus.items()):
         rec.enroll(lab, sigs)
@@ -144,6 +151,9 @@ def cmd_evaluate(args):
     rec.mesh = mesh
     if args.k != rec.k:                 # --k overrides the enrolled value
         rec.k = args.k
+    if args.matcher != rec.matcher:
+        rec.matcher = args.matcher
+        rec.shortlist = args.shortlist
     corpus = _load_corpus(args.corpus, args.sr)
     metrics = RunMetrics("evaluate")
     result = rec.evaluate(corpus)

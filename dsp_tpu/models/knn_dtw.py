@@ -32,14 +32,16 @@ class KnnDtwRecognizer:
     """
 
     def __init__(self, cfg: PipelineConfig = PipelineConfig(), k: int = 1,
-                 mesh=None, matcher: str = "dtw", ltw_len: int = 64):
-        if matcher not in ("dtw", "ltw"):
+                 mesh=None, matcher: str = "dtw", ltw_len: int = 64,
+                 shortlist: int = 8):
+        if matcher not in ("dtw", "ltw", "cascade"):
             raise ValueError(f"unknown matcher: {matcher}")
         self.cfg = cfg
         self.k = k
         self.mesh = mesh
-        self.matcher = matcher          # 'ltw' = linear-time-warp fast path
-        self.ltw_len = ltw_len
+        self.matcher = matcher          # 'ltw' fast path | 'cascade' = LTW
+        self.ltw_len = ltw_len          # shortlist -> DTW rerank
+        self.shortlist = shortlist
         self.mats = fe.make_matrices(cfg.frontend)
         self.labels: list[str] = []          # label id -> string
         self._bank_feats: list[np.ndarray] = []   # [U_max, F] each
@@ -141,6 +143,12 @@ class KnnDtwRecognizer:
             feats = pl.extract_features(x, n, self.mats, self.cfg)
             label_ids, dists = pl.classify_features_ltw(
                 feats, bank, ids, self.ltw_len)
+        elif self.matcher == "cascade":
+            feats = pl.extract_features(x, n, self.mats, self.cfg)
+            label_ids, dists, _ = pl.classify_features_cascade(
+                feats, bank, ids, self.shortlist, self.k,
+                n_labels=len(self.labels), target_len=self.ltw_len,
+                cfg=self.cfg)
         elif self.k <= 1:
             label_ids, dists = pl.recognize_batch(
                 x, n, self.mats, bank, ids, self.cfg)
@@ -248,6 +256,7 @@ class KnnDtwRecognizer:
             k=self.k,
             matcher=self.matcher,
             ltw_len=self.ltw_len,
+            shortlist=self.shortlist,
             frontend=json.dumps(frontend_signature(self.cfg)),
         )
 
@@ -256,8 +265,10 @@ class KnnDtwRecognizer:
         data = np.load(path, allow_pickle=False)
         matcher = str(data["matcher"]) if "matcher" in data.files else "dtw"
         ltw_len = int(data["ltw_len"]) if "ltw_len" in data.files else 64
+        shortlist = int(data["shortlist"]) if "shortlist" in data.files else 8
         check_frontend_signature(data, cfg, path)
-        rec = cls(cfg, k=int(data["k"]), matcher=matcher, ltw_len=ltw_len)
+        rec = cls(cfg, k=int(data["k"]), matcher=matcher, ltw_len=ltw_len,
+                  shortlist=shortlist)
         rec.labels = json.loads(str(data["labels"]))
         rec._bank_feats = [f for f in data["bank"]]
         rec._bank_lens = [int(v) for v in data["lens"]]

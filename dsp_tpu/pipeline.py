@@ -196,6 +196,53 @@ def classify_features_ltw(feats: Features, bank: Features,
     return jnp.take(bank_label_ids, jnp.argmin(d, axis=-1)), d
 
 
+@functools.partial(jax.jit, static_argnames=("shortlist", "k", "n_labels",
+                                              "target_len", "cfg", "precision"))
+def classify_features_cascade(feats: Features, bank: Features,
+                              bank_label_ids: jax.Array,
+                              shortlist: int = 8,
+                              k: int = 1,
+                              n_labels: int | None = None,
+                              target_len: int = 64,
+                              cfg: PipelineConfig = PipelineConfig(),
+                              precision=jax.lax.Precision.HIGHEST):
+    """Two-stage matcher: LTW shortlist -> DTW rerank of ``shortlist``
+    candidates per query (the classical screening cascade: the cheap
+    linear-warp matmul ranks the bank, full DTW only scores the top-M).
+
+    Cost scales with B*M instead of B*K — at M=8 vs a 100-template bank
+    that is ~10x less DTW — at the price of exactness: a true nearest
+    template outside the LTW top-M is lost (measured containment on the
+    synthetic corpus: docs/RESULTS.md).  Returns (label_ids [B],
+    dtw distances of the shortlist [B, M], candidate indices [B, M]).
+    """
+    _, ltw_d = classify_features_ltw(feats, bank, bank_label_ids,
+                                     target_len, precision)
+    m = min(shortlist, bank.feats.shape[0])
+    _, cand = jax.lax.top_k(-ltw_d, m)                        # [B, M]
+    cand_feats = jnp.take(bank.feats, cand, axis=0)           # [B, M, U, F]
+    cand_lens = jnp.take(bank.length, cand, axis=0)           # [B, M]
+
+    def per_query(q, ql, tf, tl):
+        return jax.vmap(lambda t, l: jdtw.dtw_distance(q, t, ql, l, cfg.dtw,
+                                                       precision))(tf, tl)
+
+    d = jax.vmap(per_query)(feats.feats, feats.length,
+                            cand_feats, cand_lens)            # [B, M]
+    cand_labels = jnp.take(bank_label_ids, cand)              # [B, M]
+    if k <= 1:
+        best = jnp.argmin(d, axis=-1)
+        ids = jnp.take_along_axis(cand_labels, best[:, None], axis=1)[:, 0]
+    else:
+        if n_labels is None:
+            raise ValueError("n_labels required for k > 1")
+        kk = min(k, m)
+        neg_top, sel = jax.lax.top_k(-d, kk)
+        ids = vote_topk(-neg_top, jnp.take_along_axis(cand_labels, sel,
+                                                      axis=1), n_labels)
+    return ids, d, cand
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "precision"))
 def recognize_batch(signals: jax.Array, n_samples: jax.Array,
                     mats: fe.FrontendMatrices,

@@ -96,3 +96,38 @@ def test_checkpoint_frontend_signature_mismatch_raises(tmp_path):
         cfg, frontend=dataclasses.replace(cfg.frontend, n_mfcc=20))
     with pytest.raises(ValueError, match="n_mfcc|n_feats"):
         KnnDtwRecognizer.load(path, bad2)
+
+
+def test_cascade_matcher_matches_full_dtw():
+    """LTW-shortlist + DTW-rerank picks the same labels as full DTW on the
+    synthetic corpus, at a fraction of the DTW pairs."""
+    labels = ["zero", "one", "two", "three", "four"]
+    full = KnnDtwRecognizer(PipelineConfig())
+    casc = KnnDtwRecognizer(PipelineConfig(), matcher="cascade", shortlist=4)
+    for lab in labels:
+        sigs = [synth_word(lab, i) for i in range(3)]
+        full.enroll(lab, sigs)
+        casc.enroll(lab, sigs)
+    queries = [synth_word(lab, 60 + i) for i, lab in enumerate(labels * 2)]
+    assert casc.classify_batch(queries) == full.classify_batch(queries)
+
+
+def test_cascade_knn_vote():
+    labels = ["zero", "one", "two"]
+    casc = KnnDtwRecognizer(PipelineConfig(), matcher="cascade",
+                            shortlist=6, k=3)
+    for lab in labels:
+        casc.enroll(lab, [synth_word(lab, i) for i in range(3)])
+    queries = [synth_word(lab, 90) for lab in labels]
+    assert casc.classify_batch(queries) == labels
+
+
+def test_cascade_checkpoint_roundtrip(tmp_path):
+    rec = KnnDtwRecognizer(PipelineConfig(), matcher="cascade", shortlist=5)
+    rec.enroll("zero", [synth_word("zero", 0)])
+    rec.enroll("one", [synth_word("one", 0)])
+    path = str(tmp_path / "bank.npz")
+    rec.save(path)
+    loaded = KnnDtwRecognizer.load(path, PipelineConfig())
+    assert loaded.matcher == "cascade" and loaded.shortlist == 5
+    assert loaded.recognize(synth_word("one", 7)) == "one"
