@@ -118,7 +118,9 @@ def main():
     def decode(f, token):
         return gh.score_words(token_mix(f, token), feats.length, params)
 
-    dt = chained_timeit(decode, (feats.feats,), n_iters=8)
+    # fast op (~4 ms): needs many iters or the one-off ~25 ms relay
+    # fetch inflates the reading ~2x (round-2 postmortem)
+    dt = chained_timeit(decode, (feats.feats,), n_iters=48)
     emit(config=3, metric="viterbi_decodes_per_sec",
          value=round(B * W / dt, 1), unit="utterance-word decodes/s/chip")
 
