@@ -169,7 +169,7 @@ def cmd_train_hmm(args):
     from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
     cfg = _pipeline_cfg(args)
     hmm = HmmConfig(n_states=args.states, n_mix=args.mix, n_iter=args.iters,
-                    train_mode=args.train_mode)
+                    train_mode=args.train_mode, map_tau=args.map_tau)
     rec = GmmHmmRecognizer(cfg, hmm)
     rec.fit(_load_corpus(args.corpus, args.sr))
     rec.save(args.model)
@@ -390,6 +390,9 @@ def main(argv=None):
     p.add_argument("--states", type=int, default=5)
     p.add_argument("--mix", type=int, default=3)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--map-tau", type=float, default=0.0,
+                   help="> 0: MAP-adapt word HMMs from a universal "
+                        "background GMM (few-shot regulariser)")
     p.add_argument("--train-mode", choices=["viterbi", "baum_welch"],
                    default="viterbi")
     _add_common(p)

@@ -127,6 +127,8 @@ class HmmConfig:
     n_iter: int = 10
     seed: int = 0
     train_mode: str = "viterbi"    # "viterbi" (segmental) | "baum_welch" (soft EM)
+    map_tau: float = 0.0           # > 0: MAP-adapt word models from a UBM
+    ubm_iters: int = 8             # EM iterations for the universal GMM
 
 
 @dataclasses.dataclass(frozen=True)

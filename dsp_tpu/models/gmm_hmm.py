@@ -172,20 +172,43 @@ def _gmm_stats(feats: jax.Array, valid: jax.Array, gamma: jax.Array,
 
 
 def _params_from_stats(stats: SuffStats, params: HmmParams,
-                       cfg: HmmConfig) -> HmmParams:
-    """Closed-form M-step from (possibly psum-reduced) sufficient stats."""
+                       cfg: HmmConfig, prior: HmmParams | None = None
+                       ) -> HmmParams:
+    """Closed-form M-step from (possibly psum-reduced) sufficient stats.
+
+    With ``prior`` (and cfg.map_tau > 0) the update is the classical
+    relevance-MAP adaptation (Reynolds et al. speaker-adaptation rule):
+
+        mean = (sx + tau * m0) / (tot + tau)
+        var  = (sxx + tau * (v0 + m0^2)) / (tot + tau) - mean^2
+
+    which interpolates towards the UBM when a component sees few frames
+    — the few-shot regulariser the plain ML update lacks.
+    """
     tot, sx, sxx = stats.tot, stats.sx, stats.sxx
-    tot_safe = jnp.maximum(tot, 1e-6)[..., None]
-    mean_new = sx / tot_safe
-    var_new = jnp.maximum(sxx / tot_safe - mean_new**2, cfg.var_floor)
-    mix_new = tot / jnp.maximum(tot.sum(-1, keepdims=True), 1e-6)
+    if prior is not None and cfg.map_tau > 0:
+        tau = cfg.map_tau
+        m0 = prior.means
+        v0 = jnp.exp(prior.log_var)
+        denom = (tot + tau)[..., None]
+        mean_new = (sx + tau * m0) / denom
+        var_new = (sxx + tau * (v0 + m0 * m0)) / denom - mean_new**2
+        var_new = jnp.maximum(var_new, cfg.var_floor)
+        mix_new = ((tot + tau * jnp.exp(prior.log_mix))
+                   / jnp.maximum((tot + tau * jnp.exp(prior.log_mix))
+                                 .sum(-1, keepdims=True), 1e-6))
+        means, log_var = mean_new, jnp.log(var_new)
+    else:
+        tot_safe = jnp.maximum(tot, 1e-6)[..., None]
+        mean_new = sx / tot_safe
+        var_new = jnp.maximum(sxx / tot_safe - mean_new**2, cfg.var_floor)
+        mix_new = tot / jnp.maximum(tot.sum(-1, keepdims=True), 1e-6)
+        # keep old params for starved components
+        alive = (tot > 1e-4)[..., None]
+        means = jnp.where(alive, mean_new, params.means)
+        log_var = jnp.where(alive, jnp.log(var_new), params.log_var)
     mix_new = jnp.maximum(mix_new, 1e-6)
     mix_new = mix_new / mix_new.sum(-1, keepdims=True)
-
-    # keep old params for starved components
-    alive = (tot > 1e-4)[..., None]
-    means = jnp.where(alive, mean_new, params.means)
-    log_var = jnp.where(alive, jnp.log(var_new), params.log_var)
     stay = jnp.where(stats.trans_cnt > 0,
                      stats.stay_cnt / jnp.maximum(stats.trans_cnt, 1.0), 0.6)
     return params._replace(means=means, log_var=log_var,
@@ -344,8 +367,59 @@ def stack_params(params_list) -> HmmParams:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def fit_ubm(feats: jax.Array, lengths: jax.Array, cfg: HmmConfig,
+            key: jax.Array):
+    """Universal background GMM over ALL frames: (means, log_var, log_mix)
+    each [M, F].  Diagonal-covariance EM, emission scoring on the MXU via
+    gmm_loglik_flat — the TPU-native UBM for MAP adaptation."""
+    n, t, f = feats.shape
+    m = cfg.n_mix
+    x = feats.reshape(-1, f)                                  # [NT, F]
+    wts = (jnp.arange(t)[None, :] < lengths[:, None]).reshape(-1)
+    wts = wts.astype(jnp.float32)                             # [NT]
+    total = jnp.maximum(wts.sum(), 1.0)
+    gmean = (wts @ x) / total
+    gvar = jnp.maximum((wts @ (x * x)) / total - gmean**2, cfg.var_floor)
+    # init: global mean/var with jittered means
+    jitter = jax.random.normal(key, (m, f))
+    means = gmean[None] + 0.3 * jitter * jnp.sqrt(gvar)[None]
+    log_var = jnp.broadcast_to(jnp.log(gvar)[None], (m, f))
+    log_mix = jnp.full((m,), -np.log(m))
+
+    def em(carry, _):
+        means, log_var, log_mix = carry
+        ll = gmm_loglik_flat(x, means, log_var) + log_mix      # [NT, M]
+        resp = jax.nn.softmax(ll, axis=-1) * wts[:, None]
+        tot = jnp.maximum(resp.sum(0), 1e-6)                   # [M]
+        mu = (resp.T @ x) / tot[:, None]
+        var = jnp.maximum((resp.T @ (x * x)) / tot[:, None] - mu**2,
+                          cfg.var_floor)
+        mix = jnp.maximum(tot / tot.sum(), 1e-6)
+        return (mu, jnp.log(var), jnp.log(mix / mix.sum())), None
+
+    (means, log_var, log_mix), _ = jax.lax.scan(
+        em, (means, log_var, log_mix), None, length=cfg.ubm_iters)
+    return means, log_var, log_mix
+
+
+def ubm_prior(ubm, cfg: HmmConfig) -> HmmParams:
+    """Tile the UBM across HMM states as the MAP prior (every state's
+    mixtures start at, and shrink towards, the universal model)."""
+    means, log_var, log_mix = ubm
+    s = cfg.n_states
+    return HmmParams(
+        log_pi=jnp.full((s,), NEG_INF).at[0].set(0.0),
+        log_a=_lr_log_a(jnp.full((s,), 0.6), s),
+        means=jnp.broadcast_to(means[None], (s, *means.shape)),
+        log_var=jnp.broadcast_to(log_var[None], (s, *log_var.shape)),
+        log_mix=jnp.broadcast_to(log_mix[None], (s, *log_mix.shape)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def fit_words_batched(feats_w: jax.Array, lengths_w: jax.Array,
-                      seeds: jax.Array, cfg: HmmConfig) -> HmmParams:
+                      seeds: jax.Array, cfg: HmmConfig,
+                      prior: HmmParams | None = None) -> HmmParams:
     """EM for ALL word models in ONE jitted program.
 
     feats_w [W, N, T, F] / lengths_w [W, N]: per-word utterances padded to
@@ -355,21 +429,30 @@ def fit_words_batched(feats_w: jax.Array, lengths_w: jax.Array,
     whole vocabulary trains with one compile + one dispatch instead of
     W x n_iter launches (the round-1 fit() host loop).
 
+    With ``prior`` (a UBM tiled over states, see ubm_prior) and
+    cfg.map_tau > 0 every word initialises AT the prior and the M-step
+    MAP-shrinks towards it — the few-shot recipe.
+
     Under a ('data','bank') mesh, shard feats_w P('bank','data') and the
     jit partitioner runs words across the bank axis and psum-reduces the
     utterance-sharded sufficient statistics — same layout as
     parallel/em.py's single-word step.
     """
-    keys = jax.vmap(jax.random.PRNGKey)(seeds)
-    params = jax.vmap(lambda f, l, k: init_params(f, l, cfg, k))(
-        feats_w, lengths_w, keys)
+    if prior is not None and cfg.map_tau > 0:
+        w = feats_w.shape[0]
+        params = jax.tree.map(
+            lambda a: jnp.broadcast_to(a[None], (w, *a.shape)), prior)
+    else:
+        keys = jax.vmap(jax.random.PRNGKey)(seeds)
+        params = jax.vmap(lambda f, l, k: init_params(f, l, cfg, k))(
+            feats_w, lengths_w, keys)
 
     def one_word(f, l, p):
         if cfg.train_mode == "baum_welch":
             stats = em_suff_stats_soft(f, l, p, cfg)
         else:
             stats = em_suff_stats(f, l, p, cfg)
-        return _params_from_stats(stats, p, cfg)
+        return _params_from_stats(stats, p, cfg, prior)
 
     def body(_, p):
         return jax.vmap(one_word)(feats_w, lengths_w, p)
@@ -427,6 +510,14 @@ class GmmHmmRecognizer:
             lens_w[i, :n] = np.asarray(fw.length)
         seeds = np.asarray([self.hmm.seed + i for i in range(w)], np.int32)
         fj, lj, sj = jnp.asarray(feats_w), jnp.asarray(lens_w), jnp.asarray(seeds)
+        prior = None
+        if self.hmm.map_tau > 0:
+            # universal background GMM over every word's frames, tiled
+            # over states as the MAP prior (few-shot regularisation)
+            ubm = fit_ubm(fj.reshape(w * n_max, t, f_dim),
+                          lj.reshape(w * n_max), self.hmm,
+                          jax.random.PRNGKey(self.hmm.seed))
+            prior = ubm_prior(ubm, self.hmm)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -439,7 +530,7 @@ class GmmHmmRecognizer:
                     fj, NamedSharding(mesh, P(BANK_AXIS, DATA_AXIS, None, None)))
                 lj = jax.device_put(lj, NamedSharding(mesh, P(BANK_AXIS, DATA_AXIS)))
                 sj = jax.device_put(sj, NamedSharding(mesh, P(BANK_AXIS)))
-        self.params = fit_words_batched(fj, lj, sj, self.hmm)
+        self.params = fit_words_batched(fj, lj, sj, self.hmm, prior)
 
     def classify_batch(self, signals, return_scores: bool = False):
         if self.params is None:

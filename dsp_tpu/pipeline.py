@@ -109,10 +109,14 @@ def classify_features(feats: Features, bank: Features, bank_label_ids: jax.Array
     impl = cfg.dtw.impl
     if impl == "auto":
         # fused banded kernel on TPU; identical distances to the scan —
-        # both implement the windowed band (DtwConfig.max_warp_scale)
+        # both implement the windowed band (DtwConfig.max_warp_scale).
+        # Tiny problems stay on the scan: measured crossover ~B*K 64
+        # (B=1 x K=10: scan 3.0 ms vs kernel 3.7; B=8: kernel wins)
+        n_pairs = feats.feats.shape[0] * bank.feats.shape[0]
         impl = ("fused_banded"
                 if (cfg.dtw.band_frac is not None
                     and cfg.dtw.max_warp_scale is not None
+                    and n_pairs >= 64
                     and jax.default_backend() == "tpu") else "scan")
     if impl == "fused_banded":
         from dsp_tpu.kernels.dtw_fused_banded import dtw_batch_fused_banded

@@ -241,3 +241,24 @@ def test_batched_fit_on_mesh():
         np.testing.assert_allclose(np.asarray(getattr(plain.params, f)),
                                    np.asarray(getattr(meshed.params, f)),
                                    rtol=5e-3, atol=5e-3, err_msg=f)
+
+
+def test_map_adaptation_helps_one_shot():
+    """UBM-MAP adaptation must beat (or match) plain ML in the 1-shot
+    regime — the classical few-shot regulariser (ROADMAP item 7)."""
+    labels = ["zero", "one", "two", "three", "four"]
+    train = {lab: [synth_word(lab, 0)] for lab in labels}          # 1-shot
+    test = {lab: [synth_word(lab, 50 + i) for i in range(3)] for lab in labels}
+
+    ml = gh.GmmHmmRecognizer(PipelineConfig(),
+                             HmmConfig(n_states=4, n_mix=2, n_iter=5))
+    ml.fit(train)
+    acc_ml = ml.evaluate(test)["accuracy"]
+
+    mapped = gh.GmmHmmRecognizer(
+        PipelineConfig(),
+        HmmConfig(n_states=4, n_mix=2, n_iter=5, map_tau=8.0))
+    mapped.fit(train)
+    acc_map = mapped.evaluate(test)["accuracy"]
+    assert acc_map >= acc_ml, (acc_map, acc_ml)
+    assert acc_map >= 0.6
