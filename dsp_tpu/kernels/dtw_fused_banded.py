@@ -60,6 +60,13 @@ from dsp_tpu.window_plan import LANE, plan_window, round_up as _round_up
 
 QUERY_TILE = 128
 
+# Microbench-only phase ablation (scripts/mb_fused_banded.py --ablate):
+# None (off), "no_dp" (stop after extraction), "no_roll" (skip the window
+# roll), "no_gemm" (skip the cost GEMM; stale cq), "static_off" (constant
+# window offsets).  All but None produce WRONG results — timing only.
+# Measured phase budget on v5e: docs/PERF.md "Round-2 ablations".
+_ABLATE = None
+
 
 def _exact_floordiv(a, b):
     """floor(a/b) for int32 a>=0, b>=1 — float-divide then integer-fix."""
@@ -85,14 +92,16 @@ def _kernel(la_s, lb_s, qf_ref, bf_ref, lav_ref, out_ref, cq, cs, *,
     # squared path: the wrapper prefix-sums the template features over U,
     # so the GEMM emits row prefix sums CS(i, j) directly and the whole
     # in-kernel Kogge-Stone cumsum phase disappears.
+    # HIGHEST precision is load-bearing on the prefix-summed operands
+    # (bf16 rounding: 5% distance error / 50% argmin flips on v5e) and
+    # measured FREE either way — the MXU fully overlaps the VPU-side
+    # extraction (docs/PERF.md round-2 ablations).
     for q in range(qt):                                      # unrolled
         a = qf_ref[q]                                        # [T_pad, Faug]
-        # HIGHEST precision is mandatory: with the prefix-summed template
-        # features the operand magnitudes are ~U x cost, and bf16 MXU
-        # rounding there cost 5% distance error / 50% argmin flips on v5e
-        cq[:] = jax.lax.dot_general(a, bf_ref[0], (((1,), (1,)), ((), ())),
-                                    preferred_element_type=f32,
-                                    precision=jax.lax.Precision.HIGHEST)
+        if _ABLATE != "no_gemm":                 # no_gemm: stale cq, timing only
+            cq[:] = jax.lax.dot_general(a, bf_ref[0], (((1,), (1,)), ((), ())),
+                                        preferred_element_type=f32,
+                                        precision=jax.lax.Precision.HIGHEST)
         if windowed:
             la = la_s[qi * qt + q]
             lam1 = jnp.maximum(la - 1, 1)
@@ -102,20 +111,30 @@ def _kernel(la_s, lb_s, qf_ref, bf_ref, lav_ref, out_ref, cq, cs, *,
             off_prev = jnp.asarray(0, i32)
             for b in range(nb):                              # unrolled
                 i0 = b * rb
-                num = jnp.maximum(i0 * lbm1 - r2, 0)
-                jlo = (num + lam1 - 1) // lam1
-                off = jnp.maximum((jlo // 8) * 8 - 8, 0)
-                # right-edge clip, ceil'd to 8: every off stays a
-                # multiple of 8 (the realign stages shift by 8s only)
-                clip8 = ((jnp.maximum(lb - w, 0) + 7) // 8) * 8
-                off = jnp.minimum(off, clip8)
-                off = jnp.minimum(off, off_prev + s_max)
+                if _ABLATE == "static_off":
+                    off = jnp.asarray(min(b * 8, u_pad - w), i32)
+                else:
+                    num = jnp.maximum(i0 * lbm1 - r2, 0)
+                    jlo = (num + lam1 - 1) // lam1
+                    off = jnp.maximum((jlo // 8) * 8 - 8, 0)
+                    # right-edge clip, ceil'd to 8: every off stays a
+                    # multiple of 8 (the realign stages shift by 8s only)
+                    clip8 = ((jnp.maximum(lb - w, 0) + 7) // 8) * 8
+                    off = jnp.minimum(off, clip8)
+                    off = jnp.minimum(off, off_prev + s_max)
                 off_prev = off
                 blk = cq[i0:i0 + rb, :]
-                win = pltpu.roll(blk, (u_pad - off) % u_pad, axis=1)
+                if _ABLATE == "no_roll":
+                    win = blk
+                else:
+                    win = pltpu.roll(blk, (u_pad - off) % u_pad, axis=1)
                 cs[q, i0:i0 + rb, :] = win[:, :w]
         else:
             cs[q] = cq[:, :w]
+
+    if _ABLATE == "no_dp":
+        out_ref[:] = cs[:, 0, :LANE][:, :out_ref.shape[1]]
+        return
 
     if not squared:
         # ---- 1.5: clamp + sqrt, then in-place window prefix sums --------
