@@ -43,7 +43,8 @@ def _pipeline_cfg(args) -> PipelineConfig:
         lpc_order=args.lpc_order,
     )
     band = None if args.band is not None and args.band <= 0 else args.band
-    dtw = DtwConfig(band_frac=band, impl=args.dtw_impl)
+    slope = None if args.slope == "none" else args.slope
+    dtw = DtwConfig(band_frac=band, impl=args.dtw_impl, slope=slope)
     return PipelineConfig(
         frontend=fe, dtw=dtw,
         max_samples=args.max_samples,
@@ -72,6 +73,10 @@ def _add_common(p: argparse.ArgumentParser):
                    default=DtwConfig.impl,
                    help="auto = fused banded Pallas kernel on TPU, "
                         "XLA scan elsewhere")
+    p.add_argument("--slope", choices=["none", "itakura"], default="none",
+                   help="DTW local slope constraint (itakura: steps "
+                        "{(1,0),(1,1),(1,2)}, no repeated (1,0); length "
+                        "ratios > 2 become unreachable)")
     p.add_argument("--k", type=int, default=1, help="kNN votes")
     p.add_argument("--matcher", choices=["dtw", "ltw", "cascade"],
                    default="dtw",

@@ -112,6 +112,14 @@ class DtwConfig:
 
     band_frac: Optional[float] = 0.15  # Sakoe-Chiba band as fraction of max(T,U); None = full
     max_warp_scale: Optional[float] = 2.0  # warp-slope limit for the banded window schedule (None = pure band, scan only)
+    # Local slope constraint on the step pattern (Itakura 1975; Rabiner &
+    # Juang §4.7): None = unconstrained steps {(1,0),(0,1),(1,1)};
+    # "itakura" = query-synchronous steps {(1,0),(1,1),(1,2)} with no two
+    # consecutive (1,0) — every path visits each query frame exactly
+    # once and the warp slope is confined to [1/2, 2].  Pairs whose
+    # length ratio exceeds 2 score as unreachable (BIG).  Supported by
+    # impl "scan" and "fused_banded" (golden oracle: golden/dtw.py).
+    slope: Optional[str] = None        # None | "itakura"
     squared: bool = False              # use squared Euclidean local cost
     big: float = 1e30                  # finite "infinity" for masked cells
     impl: str = "auto"                 # "auto" | "scan" (XLA) | "fused_banded" (Pallas window kernel) | "pallas" (wavefront) | "fused" (no HBM cost)

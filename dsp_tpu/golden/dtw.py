@@ -70,8 +70,49 @@ def windowed_band_mask(ta: int, tb: int, band_frac: float, *,
     return valid
 
 
+def _dp_unconstrained(cost: np.ndarray) -> np.ndarray:
+    """Classical DP table: steps {(1,0),(0,1),(1,1)}, start (0,0)."""
+    ta, tb = cost.shape
+    dp = np.full((ta, tb), BIG, dtype=np.float64)
+    dp[0, 0] = cost[0, 0]
+    for j in range(1, tb):
+        dp[0, j] = dp[0, j - 1] + cost[0, j]
+    for i in range(1, ta):
+        dp[i, 0] = dp[i - 1, 0] + cost[i, 0]
+        for j in range(1, tb):
+            dp[i, j] = cost[i, j] + min(dp[i - 1, j], dp[i, j - 1],
+                                        dp[i - 1, j - 1])
+    return dp
+
+
+def _dp_itakura(cost: np.ndarray) -> np.ndarray:
+    """Itakura slope-constrained DP table (DtwConfig.slope="itakura").
+
+    Steps {(1,0),(1,1),(1,2)} with no two consecutive (1,0):
+
+        N[i,j] = c[i,j] + min(D[i-1,j-1], D[i-1,j-2])   (diagonal arrival)
+        D[i,j] = min(N[i,j], c[i,j] + N[i-1,j])         (or one vertical)
+
+    Cells unreachable under the slope limit stay ~BIG (finite; BIG
+    accumulates additively, never overflows f32).
+    """
+    ta, tb = cost.shape
+    dp = np.full((ta, tb), BIG, dtype=np.float64)   # D: best any-arrival
+    nd = np.full((ta, tb), BIG, dtype=np.float64)   # N: non-vertical arrival
+    dp[0, 0] = nd[0, 0] = cost[0, 0]
+    for i in range(1, ta):
+        for j in range(tb):
+            best_n = dp[i - 1, j - 1] if j >= 1 else BIG
+            if j >= 2:
+                best_n = min(best_n, dp[i - 1, j - 2])
+            n = cost[i, j] + best_n
+            nd[i, j] = n
+            dp[i, j] = min(n, cost[i, j] + nd[i - 1, j])
+    return dp
+
+
 def dtw_distance_masked(a: np.ndarray, b: np.ndarray, valid: np.ndarray,
-                        squared: bool = False) -> float:
+                        squared: bool = False, slope: str | None = None) -> float:
     """DTW over an explicit valid-cell mask (BIG elsewhere), normalised.
 
     Oracle for windowed/banded kernels: identical recurrence to
@@ -85,15 +126,7 @@ def dtw_distance_masked(a: np.ndarray, b: np.ndarray, valid: np.ndarray,
     if not squared:
         cost = np.sqrt(np.maximum(cost, 0.0))
     cost = np.where(valid, cost, BIG)
-    dp = np.full((ta, tb), BIG, dtype=np.float64)
-    dp[0, 0] = cost[0, 0]
-    for j in range(1, tb):
-        dp[0, j] = dp[0, j - 1] + cost[0, j]
-    for i in range(1, ta):
-        dp[i, 0] = dp[i - 1, 0] + cost[i, 0]
-        for j in range(1, tb):
-            dp[i, j] = cost[i, j] + min(dp[i - 1, j], dp[i, j - 1],
-                                        dp[i - 1, j - 1])
+    dp = _dp_itakura(cost) if slope == "itakura" else _dp_unconstrained(cost)
     return dp[ta - 1, tb - 1] / float(ta + tb)
 
 
@@ -143,14 +176,12 @@ def dtw_distance(
                     if abs(j * lam1 - i * lbm1) > r2:
                         cost[i, j] = BIG
 
-    dp = np.full((ta, tb), BIG, dtype=np.float64)
-    dp[0, 0] = cost[0, 0]
-    for j in range(1, tb):
-        dp[0, j] = dp[0, j - 1] + cost[0, j]
-    for i in range(1, ta):
-        dp[i, 0] = dp[i - 1, 0] + cost[i, 0]
-        for j in range(1, tb):
-            dp[i, j] = cost[i, j] + min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+    if cfg.slope == "itakura":
+        if return_path:
+            raise NotImplementedError("return_path with slope='itakura'")
+        dp = _dp_itakura(cost)
+    else:
+        dp = _dp_unconstrained(cost)
 
     dist = dp[ta - 1, tb - 1] / float(ta + tb)
     if not return_path:

@@ -144,6 +144,9 @@ def dtw_batch_fused(queries: jax.Array, q_lens: jax.Array,
     if cfg.band_frac is not None:
         raise ValueError("fused DTW supports unbanded matching only "
                          "(prefix-sum closed form; see module docstring)")
+    if cfg.slope is not None:
+        raise ValueError("fused DTW does not support cfg.slope; use "
+                         "impl='scan' or 'fused_banded'")
     max_b = 480
     if queries.shape[0] > max_b:
         outs = [

@@ -78,7 +78,7 @@ def _exact_floordiv(a, b):
 
 def _kernel(la_s, lb_s, qf_ref, bf_ref, lav_ref, out_ref, cq, cs, *,
             t_pad: int, u_pad: int, w: int, s_max: int, span: int, rb: int,
-            band_frac, squared: bool, qt: int):
+            band_frac, squared: bool, qt: int, slope):
     f32, i32 = jnp.float32, jnp.int32
     qi = pl.program_id(0)
     ki = pl.program_id(1)
@@ -137,8 +137,11 @@ def _kernel(la_s, lb_s, qf_ref, bf_ref, lav_ref, out_ref, cq, cs, *,
         return
 
     if not squared:
-        # ---- 1.5: clamp + sqrt, then in-place window prefix sums --------
+        # ---- 1.5: clamp + sqrt ------------------------------------------
         cs[:] = jnp.sqrt(jnp.maximum(cs[:], 0.0))
+    if not squared and slope is None:
+        # in-place window prefix sums (closed-form row DP needs CS; the
+        # Itakura DP reads raw costs and skips this phase entirely)
         lane3 = jax.lax.broadcasted_iota(i32, (qt, t_pad, w), 2)
         s = 1
         while s < w:
@@ -156,8 +159,10 @@ def _kernel(la_s, lb_s, qf_ref, bf_ref, lav_ref, out_ref, cq, cs, *,
             f32(1.0), f32(band_frac) * jnp.maximum(lav, lb).astype(f32))
         r2v = jnp.floor(radius_v * lam1v.astype(f32)).astype(i32)
 
+    itak = slope == "itakura"
+
     def block_step(b, carry):
-        dp, kept, hl, off_prev = carry
+        dp, ndp, kept, hl, off_prev = carry
         i0 = b * rb
         if windowed:
             num = jnp.maximum(i0 * lbm1 - r2v, 0)
@@ -170,14 +175,20 @@ def _kernel(la_s, lb_s, qf_ref, bf_ref, lav_ref, out_ref, cq, cs, *,
             # (no left-edge diagonal carry needed: the -8 window slack
             # keeps lane 0 out-of-band whenever off > 0, so the only
             # boundary-crossing entry targets an invalid cell)
-            aligned = dp
-            c = 8
-            while c <= s_max:                                # static stages
-                bit = (s_v & c) != 0
-                aligned = jnp.where(bit, pltpu.roll(aligned, w - c, axis=1),
-                                    aligned)
-                c *= 2
-            dp = jnp.where(lane < w - s_v, aligned, BIG)
+
+            def realign(state):
+                aligned = state
+                c = 8
+                while c <= s_max:                            # static stages
+                    bit = (s_v & c) != 0
+                    aligned = jnp.where(
+                        bit, pltpu.roll(aligned, w - c, axis=1), aligned)
+                    c *= 2
+                return jnp.where(lane < w - s_v, aligned, BIG)
+
+            dp = realign(dp)
+            if itak:
+                ndp = realign(ndp)
             in_blk = ((lav - 1) >= i0) & ((lav - 1) < i0 + rb)
             hl = jnp.where(in_blk, lbm1 - off, hl)
         else:
@@ -193,31 +204,45 @@ def _kernel(la_s, lb_s, qf_ref, bf_ref, lav_ref, out_ref, cq, cs, *,
         for r in range(rb):                                  # unrolled
             i = i0 + r
             csr = slab[:, r, :]
-            cs_shift = jnp.where(col0, 0.0, pltpu.roll(csr, 1, axis=1))
             start = jnp.where(i == 0, 0.0, BIG)
-            shifted = jnp.where(col0, start, pltpu.roll(dp, 1, axis=1))
-            m = jnp.minimum(dp, shifted)
             if banded:
                 validr = (jnp.abs(jlam - i * lbm1) <= r2v) & jvalid
             else:
                 validr = jvalid
-            e = jnp.where(validr, m - cs_shift, BIG)
-            ss = 1
-            while ss < span:
-                # wrap mask needed on EVERY sweep (dtw_fused.py pitfall a)
-                e = jnp.minimum(e, jnp.where(lane >= ss,
-                                             pltpu.roll(e, ss, axis=1), BIG))
-                ss *= 2
-            # mask invalid DESTINATION lanes too: the cummin propagates
-            # finite entries past the band edge within the row otherwise
-            dp = jnp.where(validr, csr + e, BIG)
+            if itak:
+                # Itakura two-state row (ops/dtw.py:dtw_from_cost_itakura):
+                # raw costs, no prefix sums, no span sweep.  Lanes 0..1
+                # take BIG preds at off>0 — legal, since the -8 slack
+                # keeps them out-of-band anyway.
+                s1 = jnp.where(col0, start, pltpu.roll(dp, 1, axis=1))
+                s2 = jnp.where(lane <= 1, BIG, pltpu.roll(dp, 2, axis=1))
+                n_new = jnp.where(validr, csr + jnp.minimum(s1, s2), BIG)
+                dp = jnp.where(validr, jnp.minimum(n_new, csr + ndp), BIG)
+                ndp = n_new
+            else:
+                cs_shift = jnp.where(col0, 0.0, pltpu.roll(csr, 1, axis=1))
+                shifted = jnp.where(col0, start, pltpu.roll(dp, 1, axis=1))
+                m = jnp.minimum(dp, shifted)
+                e = jnp.where(validr, m - cs_shift, BIG)
+                ss = 1
+                while ss < span:
+                    # wrap mask needed on EVERY sweep (dtw_fused.py pitfall a)
+                    e = jnp.minimum(e, jnp.where(lane >= ss,
+                                                 pltpu.roll(e, ss, axis=1),
+                                                 BIG))
+                    ss *= 2
+                # mask invalid DESTINATION lanes too: the cummin propagates
+                # finite entries past the band edge within the row otherwise
+                dp = jnp.where(validr, csr + e, BIG)
             kept = jnp.where((lav - 1) == i, dp, kept)
-        return dp, kept, hl, off
+        return dp, ndp, kept, hl, off
 
-    init = (jnp.full((qt, w), BIG, f32), jnp.full((qt, w), BIG, f32),
+    bigrow = jnp.full((qt, w), BIG, f32)
+    init = (bigrow, bigrow if itak else jnp.zeros((), f32),
+            jnp.full((qt, w), BIG, f32),
             jnp.broadcast_to(jnp.asarray(lbm1, i32), (qt, 1)),
             jnp.zeros((qt, 1), i32))
-    _, kept, hl, _ = jax.lax.fori_loop(0, nb, block_step, init)
+    _, _, kept, hl, _ = jax.lax.fori_loop(0, nb, block_step, init)
 
     # ---- 5: harvest + revolving output block ----------------------------
     onehot = (lane == hl).astype(f32)
@@ -268,6 +293,8 @@ def dtw_batch_fused_banded(queries: jax.Array, q_lens: jax.Array,
 
     bsz, t, f = queries.shape
     k, u, _ = bank.shape
+    if cfg.slope not in (None, "itakura"):
+        raise ValueError(f"unknown DtwConfig.slope {cfg.slope!r}")
     if cfg.band_frac is not None and cfg.max_warp_scale is None:
         raise ValueError(
             "the fused banded kernel implements the windowed band "
@@ -288,9 +315,10 @@ def dtw_batch_fused_banded(queries: jax.Array, q_lens: jax.Array,
     faug = qa.shape[-1]
     qa = jnp.pad(qa, ((0, b_pad - bsz), (0, t_pad - t), (0, 0)))
     ba = jnp.pad(ba, ((0, 0), (0, u_pad - u), (0, 0)))
-    if cfg.squared:
+    if cfg.squared and cfg.slope is None:
         # prefix-sum the template features over U: the kernel's GEMM then
         # emits row prefix sums of the cost and skips its cumsum phase
+        # (the Itakura DP consumes raw costs — no prefix sums anywhere)
         ba = jnp.cumsum(ba, axis=1)
     la = jnp.maximum(q_lens.astype(jnp.int32), 1)
     la_s = jnp.pad(la, (0, b_pad - bsz), constant_values=1)
@@ -299,7 +327,8 @@ def dtw_batch_fused_banded(queries: jax.Array, q_lens: jax.Array,
 
     kernel = functools.partial(
         _kernel, t_pad=t_pad, u_pad=u_pad, w=w, s_max=s_max, span=span,
-        rb=rb, band_frac=cfg.band_frac, squared=cfg.squared, qt=qt)
+        rb=rb, band_frac=cfg.band_frac, squared=cfg.squared, qt=qt,
+        slope=cfg.slope)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b_pad // qt, k),

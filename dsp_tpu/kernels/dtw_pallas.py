@@ -175,6 +175,9 @@ def dtw_batch_pallas(queries: jax.Array, q_lens: jax.Array,
                      precision=jax.lax.Precision.HIGHEST,
                      interpret: bool = False) -> jax.Array:
     """All-pairs DTW [B,T,F] x [K,U,F] -> [B,K] via the wavefront kernel."""
+    if cfg.slope is not None:
+        raise ValueError("wavefront DTW does not support cfg.slope; use "
+                         "impl='scan' or 'fused_banded'")
     bsz, t, f = queries.shape
     k, u, _ = bank.shape
     cost = jax.vmap(

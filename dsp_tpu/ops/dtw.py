@@ -83,6 +83,42 @@ def dtw_from_cost(cost: jax.Array, len_a: jax.Array, len_b: jax.Array) -> jax.Ar
     return dist / (len_a + len_b).astype(cost.dtype)
 
 
+def dtw_from_cost_itakura(cost: jax.Array, len_a: jax.Array,
+                          len_b: jax.Array) -> jax.Array:
+    """Itakura slope-constrained DP over a masked cost matrix [T, U].
+
+    Steps {(1,0),(1,1),(1,2)}, no two consecutive (1,0) (golden oracle:
+    golden/dtw.py:_dp_itakura).  Every step advances the query row, so
+    each row is PURE elementwise work — no associative scan at all:
+
+        N_i = c_i + min(shift1(D_{i-1}), shift2(D_{i-1}))
+        D_i = min(N_i, c_i + N_{i-1})
+
+    Cheaper per row than the min-plus scan (no O(log U) sweeps); pairs
+    with length ratio > 2 come out ~BIG (unreachable).
+    """
+    t, u = cost.shape
+    onehot_end = (jnp.arange(u) == len_b - 1).astype(cost.dtype)
+    big2 = jnp.full(2, BIG, cost.dtype)
+
+    def row_step(carry, inp):
+        d_prev, n_prev, acc = carry
+        c_row, i = inp
+        start_val = jnp.where(i == 0, 0.0, BIG).astype(cost.dtype)
+        s1 = jnp.concatenate([start_val[None], d_prev[:-1]])
+        s2 = jnp.concatenate([big2, d_prev[:-2]])
+        n_row = c_row + jnp.minimum(s1, s2)
+        d_row = jnp.minimum(n_row, c_row + n_prev)
+        hit = jnp.sum(d_row * onehot_end)
+        acc = jnp.where(i == len_a - 1, hit, acc)
+        return (d_row, n_row, acc), None
+
+    init = (jnp.full_like(cost[0], BIG), jnp.full_like(cost[0], BIG),
+            jnp.zeros_like(cost[0, 0]))
+    (_, _, dist), _ = jax.lax.scan(row_step, init, (cost, jnp.arange(t)))
+    return dist / (len_a + len_b).astype(cost.dtype)
+
+
 def band_r2(len_a: jax.Array, len_b: jax.Array, band_frac: float) -> jax.Array:
     """Integer Sakoe-Chiba threshold: in-band iff |j*lam1 - i*lbm1| <= r2.
 
@@ -173,6 +209,8 @@ def dtw_distance(a: jax.Array, b: jax.Array,
     if len_b is None:
         len_b = jnp.asarray(b.shape[0])
     cost = masked_cost(a, b, len_a, len_b, cfg, precision)
+    if cfg.slope == "itakura":
+        return dtw_from_cost_itakura(cost, len_a, len_b)
     return dtw_from_cost(cost, len_a, len_b)
 
 
@@ -192,6 +230,10 @@ def dtw_distance_bidi(a: jax.Array, b: jax.Array,
     halving the scan trip count (the scan is per-iteration-overhead
     bound on TPU; see docs/PERF.md).  Exact same result as dtw_distance.
     """
+    if cfg.slope is not None:
+        # the F+B merge at the split row cannot see the vertical-step
+        # flag across the seam (two (1,0) steps could meet there)
+        raise ValueError("dtw_distance_bidi does not support cfg.slope")
     t, f = a.shape
     u = b.shape[0]
     n_rows = t // 2 + 1

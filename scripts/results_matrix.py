@@ -50,7 +50,11 @@ def main():
         cfg=PipelineConfig(dtw=DtwConfig(band_frac=0.2)))
     knn("kNN-DTW (fused kernel)",
         cfg=PipelineConfig(dtw=DtwConfig(impl="fused")))
+    knn("kNN-DTW (Itakura slope)",
+        cfg=PipelineConfig(dtw=DtwConfig(slope="itakura")))
     knn("kNN-LTW (fast matcher)", cfg=PipelineConfig(), matcher="ltw")
+    knn("cascade (LTW shortlist + DTW rerank)",
+        cfg=PipelineConfig(), matcher="cascade")
     knn("kNN-DTW (LPCC features)",
         cfg=PipelineConfig(frontend=FrontendConfig(feature_type="lpcc")))
     knn("kNN-DTW (CMN)",
