@@ -22,10 +22,12 @@ from dsp_tpu.config import (
     HmmConfig,
     PipelineConfig,
     VadConfig,
+    VqConfig,
 )
 from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
 from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
 from dsp_tpu.models.streaming import StreamingRecognizer
+from dsp_tpu.models.vq import VqRecognizer
 from dsp_tpu.pipeline import Features, extract_features, classify_features, recognize_batch
 
 __version__ = "0.1.0"
@@ -47,8 +49,10 @@ def extract_mfcc(x, cfg: PipelineConfig = PipelineConfig()):
 
 
 __all__ = [
-    "FrontendConfig", "VadConfig", "DtwConfig", "HmmConfig", "PipelineConfig",
-    "KnnDtwRecognizer", "GmmHmmRecognizer", "StreamingRecognizer", "Features",
+    "FrontendConfig", "VadConfig", "DtwConfig", "HmmConfig", "VqConfig",
+    "PipelineConfig",
+    "KnnDtwRecognizer", "GmmHmmRecognizer", "StreamingRecognizer",
+    "VqRecognizer", "Features",
     "extract_features", "classify_features", "recognize_batch", "extract_mfcc",
     "__version__",
 ]

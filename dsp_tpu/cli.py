@@ -194,6 +194,28 @@ def cmd_evaluate_hmm(args):
         m.dump(args.metrics_out)
 
 
+def cmd_train_vq(args):
+    from dsp_tpu.config import VqConfig
+    from dsp_tpu.models.vq import VqRecognizer
+    cfg = _pipeline_cfg(args)
+    rec = VqRecognizer(cfg, VqConfig(n_codes=args.codes, n_iter=args.iters))
+    rec.fit(_load_corpus(args.corpus, args.sr))
+    rec.save(args.model)
+    log.info("trained %d word codebooks -> %s", len(rec.labels), args.model)
+
+
+def cmd_evaluate_vq(args):
+    from dsp_tpu.models.vq import VqRecognizer
+    cfg = _pipeline_cfg(args)
+    rec = VqRecognizer.load(args.model, cfg)
+    result = rec.evaluate(_load_corpus(args.corpus, args.sr))
+    print(f"accuracy: {result['accuracy']:.4f} ({result['n']} utterances)")
+    if args.metrics_out:
+        m = RunMetrics("evaluate-vq")
+        m.record(**result)
+        m.dump(args.metrics_out)
+
+
 def cmd_evaluate_sc2(args):
     """Speech Commands v2 35-class kNN-DTW over a sharded bank (config 4)."""
     import jax
@@ -411,6 +433,20 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=10)
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_hmm)
+
+    p = sub.add_parser("train-vq", help="train per-word VQ codebooks")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--model", required=True)
+    p.add_argument("--codes", type=int, default=64, help="codebook size")
+    p.add_argument("--iters", type=int, default=10, help="k-means iters")
+    _add_common(p)
+    p.set_defaults(fn=cmd_train_vq)
+
+    p = sub.add_parser("evaluate-vq", help="accuracy of a VQ model")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--model", required=True)
+    _add_common(p)
+    p.set_defaults(fn=cmd_evaluate_vq)
 
     p = sub.add_parser("bench", help="run the headline throughput benchmark")
     p.set_defaults(fn=lambda a: __import__("bench").main())

@@ -126,6 +126,15 @@ class DtwConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class VqConfig:
+    """Vector-quantisation recognizer parameters (per-word codebook)."""
+
+    n_codes: int = 64       # codebook size per word
+    n_iter: int = 10        # Lloyd (k-means) iterations
+    squared: bool = True    # distortion = mean min squared distance
+
+
+@dataclasses.dataclass(frozen=True)
 class HmmConfig:
     """Left-to-right GMM-HMM parameters (per word model)."""
 

@@ -68,6 +68,14 @@ def main():
     acc, rate = timed_eval(rec)
     rows.append(("kNN-DTW (DBA-condensed bank)", acc, rate, rec.n_templates))
 
+    from dsp_tpu.config import VqConfig
+    from dsp_tpu.models.vq import VqRecognizer
+    vrec = VqRecognizer(PipelineConfig(), VqConfig())
+    vrec.fit(train)
+    acc, rate = timed_eval(vrec)
+    rows.append(("VQ codebook (64 codes)", acc, rate,
+                 f"{len(vrec.labels)}x64"))
+
     for mode in ("viterbi", "baum_welch"):
         hrec = GmmHmmRecognizer(PipelineConfig(),
                                 HmmConfig(n_states=5, n_mix=2, n_iter=6,
