@@ -96,9 +96,11 @@ class DtwConfig:
     """DTW matcher parameters.
 
     Defaults follow the classical recipe: Euclidean local cost with a
-    15% Sakoe-Chiba band (Sakoe & Chiba 1978 recommend a band both for
-    speed and accuracy; 15% keeps the synthetic-corpus holdout at 100%
-    where 10% clips one true warp).  With ``max_warp_scale`` set, the
+    17% Sakoe-Chiba band (Sakoe & Chiba 1978 recommend a band both for
+    speed and accuracy; 0.15 clipped true warps on one corpus draw —
+    0.96 vs 1.00 — while 0.16-0.18 score 1.00 on both draws with the
+    same 128-lane kernel window plan and ~9% kernel cost,
+    docs/RESULTS.md round-2 notes).  With ``max_warp_scale`` set, the
     band is additionally limited to a sliding lane window whose advance
     rate is capped (an Itakura-style slope limit, quantised so a kernel
     can track it — see ops/dtw.py:plan_window); pairs warped more than
@@ -110,7 +112,7 @@ class DtwConfig:
     back to the scan elsewhere.
     """
 
-    band_frac: Optional[float] = 0.15  # Sakoe-Chiba band as fraction of max(T,U); None = full
+    band_frac: Optional[float] = 0.17  # Sakoe-Chiba band as fraction of max(T,U); None = full
     max_warp_scale: Optional[float] = 2.0  # warp-slope limit for the banded window schedule (None = pure band, scan only)
     # Local slope constraint on the step pattern (Itakura 1975; Rabiner &
     # Juang §4.7): None = unconstrained steps {(1,0),(0,1),(1,1)};

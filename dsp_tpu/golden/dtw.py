@@ -160,10 +160,7 @@ def dtw_distance(
         # boundary is bit-identical across numpy / XLA / Pallas, and
         # intersected with the windowed-band schedule when
         # max_warp_scale is set (the framework-wide banded semantics)
-        if cfg.max_warp_scale is not None and cfg.slope is None:
-            # the sliding-window quantisation exists only for the
-            # unconstrained kernel's windowed DP; the Itakura DP runs
-            # full-width rows, so slope semantics are the PURE band
+        if cfg.max_warp_scale is not None:
             from dsp_tpu.window_plan import plan_window
 
             pt, pu = plan_shape if plan_shape is not None else (ta, tb)

@@ -295,36 +295,23 @@ def dtw_batch_fused_banded(queries: jax.Array, q_lens: jax.Array,
     k, u, _ = bank.shape
     if cfg.slope not in (None, "itakura"):
         raise ValueError(f"unknown DtwConfig.slope {cfg.slope!r}")
-    if (cfg.band_frac is not None and cfg.max_warp_scale is None
-            and cfg.slope is None):
+    if cfg.band_frac is not None and cfg.max_warp_scale is None:
         raise ValueError(
             "the fused banded kernel implements the windowed band "
             "(DtwConfig.max_warp_scale set); use impl='scan' for the "
             "pure unbounded-slope band")
     w, s_max, span, rb, _covered = plan_window(cfg.band_frac, t, u,
                                                cfg.max_warp_scale)
+    # NEGATIVE RESULT (docs/PERF.md): running the Itakura DP on
+    # full-width rows (w = u_pad, no window extraction) measured 20.7 ms
+    # vs 17.3 ms windowed at the reference workload — the wider DP rows
+    # cost more than the extraction they remove.  Keep the window.
     t_pad = _round_up(t, rb)
     u_pad = _round_up(u, LANE)
-    if cfg.slope == "itakura":
-        # full-width rows: the two-state Itakura DP is so cheap that 2x
-        # lanes beats the issue-bound window extraction outright
-        # (17.3 -> ~11 ms at the PERF.md workload), and the semantics
-        # become the PURE band (no window quantisation) — matching
-        # golden/ops, which skip the window mask for slope runs.
-        w, s_max = u_pad, 0
     # wide query tiles amortise the DP's per-op cost (measured on v5e:
     # 59 / 35 / 24 ms at QT 32/64/128 for 12,800 pairs); small batches
     # shrink the tile instead of padding up to 128
     qt = max(16, min(QUERY_TILE, _round_up(bsz, 16)))
-    if cfg.slope == "itakura":
-        # cs scratch is [qt, t_pad, u_pad] f32 — clamp qt to a ~64 MB
-        # budget (semantics are qt-independent; only throughput varies)
-        qt_fit = (64 * 1024 * 1024 // (t_pad * u_pad * 4)) // 16 * 16
-        if qt_fit < 16:
-            raise ValueError(
-                f"[{t_pad}x{u_pad}] too large for the full-width Itakura "
-                "kernel's VMEM scratch; use impl='scan'")
-        qt = min(qt, qt_fit)
     b_pad = _round_up(bsz, qt)
     k_pad = _round_up(k, LANE)
 

@@ -149,10 +149,7 @@ def masked_cost(a: jax.Array, b: jax.Array, len_a: jax.Array, len_b: jax.Array,
         lbm1 = (len_b - 1).astype(jnp.int32)
         r2 = band_r2(len_a, len_b, cfg.band_frac)
         invalid = invalid | (jnp.abs(j.astype(jnp.int32) * lam1 - i * lbm1) > r2)
-        if cfg.slope is None:
-            # window quantisation is an artifact of the unconstrained
-            # kernel's windowed DP; slope semantics use the pure band
-            invalid = invalid | ~window_valid(t, u, len_a, len_b, r2, cfg)
+        invalid = invalid | ~window_valid(t, u, len_a, len_b, r2, cfg)
     return jnp.where(invalid, jnp.asarray(cfg.big, cost.dtype), cost)
 
 

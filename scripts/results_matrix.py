@@ -48,8 +48,8 @@ def main():
     knn("kNN-DTW (scan, k=3)", cfg=PipelineConfig(), k=3)
     knn("kNN-DTW (banded 0.2)",
         cfg=PipelineConfig(dtw=DtwConfig(band_frac=0.2)))
-    knn("kNN-DTW (fused kernel)",
-        cfg=PipelineConfig(dtw=DtwConfig(impl="fused")))
+    knn("kNN-DTW (fused kernel, unbanded)",
+        cfg=PipelineConfig(dtw=DtwConfig(band_frac=None, impl="fused")))
     knn("kNN-DTW (Itakura slope)",
         cfg=PipelineConfig(dtw=DtwConfig(slope="itakura")))
     knn("kNN-LTW (fast matcher)", cfg=PipelineConfig(), matcher="ltw")
