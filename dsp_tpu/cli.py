@@ -41,6 +41,7 @@ def _pipeline_cfg(args) -> PipelineConfig:
         cmn=args.cmn,
         feature_type=args.features,
         lpc_order=args.lpc_order,
+        denoise=None if args.denoise == "none" else args.denoise,
     )
     band = None if args.band is not None and args.band <= 0 else args.band
     slope = None if args.slope == "none" else args.slope
@@ -62,6 +63,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--cmn", action="store_true",
                    help="per-utterance cepstral mean normalization")
     p.add_argument("--features", choices=["mfcc", "lpcc"], default="mfcc")
+    p.add_argument("--denoise", choices=["none", "spectral_subtraction"],
+                   default="none",
+                   help="power-spectrum noise suppression before the mel "
+                        "filterbank (noise PSD from the lowest-energy "
+                        "frames)")
     p.add_argument("--lpc-order", type=int, default=12)
     p.add_argument("--no-vad", action="store_true")
     p.add_argument("--band", type=float, default=DtwConfig.band_frac,

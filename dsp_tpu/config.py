@@ -45,6 +45,14 @@ class FrontendConfig:
     feature_type: str = "mfcc"     # "mfcc" | "lpcc"
     lpc_order: int = 12            # LPC prediction order (feature_type="lpcc")
     log_floor: float = 1e-10
+    # Berouti-style spectral subtraction on the power spectrum before the
+    # mel filterbank: noise PSD = mean over the ss_frac lowest-energy
+    # non-silent frames (digital-zero padding is excluded), then
+    # P' = max(P - ss_alpha*N, ss_beta*P).  feature_type "mfcc" only.
+    denoise: Optional[str] = None  # None | "spectral_subtraction"
+    ss_alpha: float = 2.0          # over-subtraction factor
+    ss_beta: float = 0.02          # spectral floor (fraction of P)
+    ss_frac: float = 0.1           # fraction of frames for the noise estimate
     impl: str = "xla"              # "xla" (fused by the compiler) | "pallas"
     # (fused kernel; measured on par with XLA on v5e — docs/PERF.md —
     # so the compiler path stays default)

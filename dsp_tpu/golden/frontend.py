@@ -58,6 +58,29 @@ def power_spectrum(frames: np.ndarray, n_fft: int) -> np.ndarray:
     return (spec.real**2 + spec.imag**2) / float(n_fft)
 
 
+def spectral_subtract(pspec: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
+    """Berouti spectral subtraction over a power spectrogram [T, K].
+
+    Noise PSD = mean PSD of the ``max(3, floor(n_valid*ss_frac))``
+    lowest-energy frames with energy > 0, where n_valid counts the
+    non-silent frames — digital-zero padding is excluded AND does not
+    change k, so the estimate is padding-invariant.  Output is
+    ``max(P - ss_alpha*N, ss_beta*P)``.  With no valid frames (all-zero
+    input) the spectrogram is returned unchanged.
+    """
+    e = pspec.sum(axis=1)
+    valid = e > 0.0
+    n_valid = int(valid.sum())
+    if n_valid == 0:
+        return pspec.copy()
+    k = max(3, int(n_valid * cfg.ss_frac))
+    order = np.argsort(np.where(valid, e, np.inf), kind="stable")[:k]
+    order = order[valid[order]]
+    noise = pspec[order].mean(axis=0)
+    return np.maximum(pspec - cfg.ss_alpha * noise[None, :],
+                      cfg.ss_beta * pspec)
+
+
 def hz_to_mel(f):
     return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
 
@@ -117,6 +140,8 @@ def mfcc(x: np.ndarray, cfg: FrontendConfig = FrontendConfig()) -> np.ndarray:
     win = hamming(cfg.frame_len)
     wframes = frames * win[None, :]
     pspec = power_spectrum(wframes, cfg.n_fft)
+    if cfg.denoise == "spectral_subtraction":
+        pspec = spectral_subtract(pspec, cfg)
     fb = mel_filterbank(cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.fmin, cfg.fmax_hz)
     mel_energy = pspec @ fb.T
     log_mel = np.log(np.maximum(mel_energy, cfg.log_floor))

@@ -104,6 +104,10 @@ def mfcc_frames_pallas(frames: jax.Array,
 
     N is padded to TILE_N internally; rows beyond the input are dropped.
     """
+    if cfg.denoise is not None:
+        raise ValueError("the fused MFCC kernel does not implement "
+                         "FrontendConfig.denoise (needs a cross-frame "
+                         "noise estimate); use impl='xla'")
     n, l = frames.shape
     assert l == cfg.frame_len
     win, cos, sin, mel, dct, lift, kb, mm, cc = _padded_constants(cfg)

@@ -284,6 +284,7 @@ def frontend_signature(cfg: PipelineConfig) -> dict:
         "n_mfcc": f.n_mfcc,
         "add_deltas": f.add_deltas,
         "cmn": f.cmn,
+        "denoise": f.denoise or "none",
         "feature_type": f.feature_type,
         "n_feats": f.n_feats,
         "max_frames": cfg.max_frames,

@@ -89,6 +89,10 @@ def lpcc_from_frames(frames: jax.Array, cfg: FrontendConfig) -> jax.Array:
 
 def lpcc(x: jax.Array, cfg: FrontendConfig = FrontendConfig()) -> jax.Array:
     """Signal [..., N] -> LPCC [..., T, n_mfcc]."""
+    if cfg.denoise is not None:
+        raise ValueError("FrontendConfig.denoise is a power-spectrum "
+                         "operation; feature_type='lpcc' does not support "
+                         "it (LPC analyses the time-domain frames)")
     y = fe.preemphasis(x, cfg.preemphasis)
     frames = fe.frame(y, cfg.frame_len, cfg.hop_len)
     return lpcc_from_frames(frames, cfg)
