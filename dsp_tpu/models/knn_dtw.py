@@ -33,7 +33,7 @@ class KnnDtwRecognizer:
 
     def __init__(self, cfg: PipelineConfig = PipelineConfig(), k: int = 1,
                  mesh=None, matcher: str = "dtw", ltw_len: int = 64,
-                 shortlist: int = 8):
+                 shortlist: int = 8, bucketed: bool = False):
         if matcher not in ("dtw", "ltw", "cascade"):
             raise ValueError(f"unknown matcher: {matcher}")
         self.cfg = cfg
@@ -42,6 +42,11 @@ class KnnDtwRecognizer:
         self.matcher = matcher          # 'ltw' fast path | 'cascade' = LTW
         self.ltw_len = ltw_len          # shortlist -> DTW rerank
         self.shortlist = shortlist
+        self.bucketed = bucketed        # opt-in length-bucketed DTW (see
+        #   pipeline.classify_features_bucketed: exact, but extra launch
+        #   + fetch round-trips — only pays off for large genuinely
+        #   mixed-length batches; measured 196 vs 331 utt/s at B=100
+        #   on the mostly-long synthetic corpus through the relay)
         self.mats = fe.make_matrices(cfg.frontend)
         self.labels: list[str] = []          # label id -> string
         self._bank_feats: list[np.ndarray] = []   # [U_max, F] each
@@ -148,6 +153,14 @@ class KnnDtwRecognizer:
             label_ids, dists, _ = pl.classify_features_cascade(
                 feats, bank, ids, self.shortlist, self.k,
                 n_labels=len(self.labels), target_len=self.ltw_len,
+                cfg=self.cfg)
+        elif self.bucketed and len(signals) > 32:
+            # host-side length bucketing: short utterances run a smaller
+            # static-T DTW program; bit-identical per pair to the
+            # unbucketed path (pipeline.classify_features_bucketed docs)
+            feats = pl.extract_features(x, n, self.mats, self.cfg)
+            label_ids, dists = pl.classify_features_bucketed(
+                feats, bank, ids, n_labels=len(self.labels), k=self.k,
                 cfg=self.cfg)
         elif self.k <= 1:
             label_ids, dists = pl.recognize_batch(

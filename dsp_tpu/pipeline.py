@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dsp_tpu.config import PipelineConfig
 from dsp_tpu.ops import dtw as jdtw
@@ -32,8 +33,6 @@ class Features(NamedTuple):
 
 def pad_signals(signals, max_samples: int):
     """Host list of 1-D signals -> (padded [B, max_samples] f32, lengths [B])."""
-    import numpy as np
-
     out = np.zeros((len(signals), max_samples), dtype=np.float32)
     lens = np.zeros(len(signals), dtype=np.int32)
     for i, s in enumerate(signals):
@@ -257,3 +256,58 @@ def recognize_batch(signals: jax.Array, n_samples: jax.Array,
     feats = extract_features(signals, n_samples, mats, cfg, precision)
     return classify_features(feats, bank, bank_label_ids, cfg=cfg,
                              precision=precision)
+
+
+def classify_features_bucketed(feats: Features, bank: Features,
+                               bank_label_ids: jax.Array,
+                               n_labels: int | None = None, k: int = 1,
+                               cfg: PipelineConfig = PipelineConfig(),
+                               precision=jax.lax.Precision.HIGHEST,
+                               pad_to: int = 64):
+    """classify_features with host-side length bucketing.
+
+    Queries are grouped into static query-length buckets
+    (t_max, t_max/2, t_max/4) and each bucket runs `classify_features`
+    on features SLICED to the bucket length, so short utterances pay a
+    proportionally smaller DTW (the kernel's row count is its static
+    t_pad).  Exactness: rows beyond the true length are never harvested
+    (padding-invariance, tests/test_properties.py) and `plan_window`'s
+    schedule depends on the template length axis, which is unchanged —
+    so bucket results equal the unbucketed ones bit-for-bit per pair
+    (tests/test_bucketed.py).  The in-kernel length-adaptive variant of
+    this idea measured 1.7x WORSE (docs/PERF.md dead ends) — bucketing
+    above the kernel is the right altitude.
+
+    OPT-IN (KnnDtwRecognizer(bucketed=True)): each bucket is an extra
+    kernel launch + fetch round-trip, which through the axon relay
+    (~25 ms/fetch) measured 196 vs 331 utt/s at B=100 on the
+    mostly-long synthetic corpus.  It pays off only for large batches
+    with genuinely mixed lengths (or off-relay deployments where the
+    per-call overhead is microseconds).
+
+    Bucket batches are padded to multiples of ``pad_to`` (by repeating
+    the last row) to bound the number of compiled program shapes.
+    Returns host numpy (label_ids [B], distances [B, K]).
+    """
+    t_max = feats.feats.shape[1]
+    lens = np.asarray(feats.length)
+    b = len(lens)
+    buckets = sorted({t_max, max(t_max // 2, 1), max(t_max // 4, 1)})
+    out_ids = np.zeros(b, np.int64)
+    out_d = np.zeros((b, bank.feats.shape[0]), np.float32)
+    assigned = np.full(b, t_max, np.int64)
+    for tb in buckets:
+        assigned = np.where(lens <= tb, np.minimum(assigned, tb), assigned)
+    for tb in buckets:
+        sel = np.where(assigned == tb)[0]
+        if sel.size == 0:
+            continue
+        bsz = -(-sel.size // pad_to) * pad_to
+        idx = np.concatenate([sel, np.full(bsz - sel.size, sel[-1])])
+        fb = Features(feats.feats[idx, :tb], feats.length[idx])
+        lid, d = classify_features(fb, bank, bank_label_ids,
+                                   n_labels=n_labels, k=k, cfg=cfg,
+                                   precision=precision)
+        out_ids[sel] = np.asarray(lid)[: sel.size]
+        out_d[sel] = np.asarray(d)[: sel.size]
+    return out_ids, out_d
