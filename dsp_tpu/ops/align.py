@@ -55,6 +55,9 @@ def dtw_alignment(a: jax.Array, b: jax.Array,
     The path is emitted END-FIRST — entry 0 is (len_a-1, len_b-1), entry
     n_steps-1 is (0, 0) — and padded with -1 beyond n_steps.
     """
+    if cfg.slope is not None:
+        raise ValueError("dtw_alignment backtraces the unconstrained "
+                         "step set only (cfg.slope unsupported)")
     t, u = a.shape[0], b.shape[0]
     if len_a is None:
         len_a = jnp.asarray(t)

@@ -56,6 +56,10 @@ def dtw_distance_windowed(a: jax.Array, b: jax.Array,
     window >= 2*radius + 4.
     """
     assert cfg.band_frac is not None, "windowed DTW requires band_frac"
+    if cfg.slope is not None:
+        raise ValueError("dtw_distance_windowed implements the "
+                         "unconstrained step set only; use impl='scan' "
+                         "or 'fused_banded' for cfg.slope")
     t, f = a.shape
     u = b.shape[0]
     w = min(window, u)
