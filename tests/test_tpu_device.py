@@ -83,3 +83,24 @@ def test_frontend_pallas_matches_xla_on_device():
     np.testing.assert_array_equal(np.asarray(a.length), np.asarray(b.length))
     np.testing.assert_allclose(np.asarray(a.feats), np.asarray(b.feats),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_itakura_kernel_matches_scan_on_device():
+    import dataclasses
+
+    from dsp_tpu.kernels.dtw_fused_banded import dtw_batch_fused_banded
+    from dsp_tpu.ops.dtw import dtw_batch
+
+    cfg, mats, (q, qn, b, bn, ids) = _problem(n_query=32)
+    dtw_cfg = dataclasses.replace(cfg.dtw, slope="itakura")
+    feats = pl.extract_features(q, qn, mats, cfg)
+    bank = pl.extract_features(b, bn, mats, cfg)
+    d_kernel = np.asarray(dtw_batch_fused_banded(
+        feats.feats, feats.length, bank.feats, bank.length, dtw_cfg))
+    d_scan = np.asarray(dtw_batch(
+        feats.feats, feats.length, bank.feats, bank.length, dtw_cfg))
+    fin = (d_kernel < 1e20) & (d_scan < 1e20)
+    assert ((d_kernel >= 1e20) == (d_scan >= 1e20)).all()
+    np.testing.assert_allclose(d_kernel[fin], d_scan[fin], rtol=5e-4)
+    np.testing.assert_array_equal(d_kernel[fin.all(1)].argmin(1),
+                                  d_scan[fin.all(1)].argmin(1))
