@@ -476,8 +476,7 @@ class GmmHmmRecognizer:
         return pl.pad_signals(signals, self.cfg.max_samples)
 
     def extract(self, signals) -> pl.Features:
-        x, n = self._pad_signals(signals)
-        return pl.extract_features(x, n, self.mats, self.cfg)
+        return pl.extract_signals(signals, self.mats, self.cfg)
 
     def fit(self, corpus: dict, mesh=None, batched: bool = True) -> None:
         """corpus: {label: [signals]} -> per-word EM training.
@@ -547,13 +546,7 @@ class GmmHmmRecognizer:
         return self.classify_batch([signal])[0]
 
     def evaluate(self, corpus: dict) -> dict:
-        sigs, want = [], []
-        for lab, xs in corpus.items():
-            sigs.extend(xs)
-            want.extend([lab] * len(xs))
-        got = self.classify_batch(sigs)
-        correct = sum(g == w for g, w in zip(got, want))
-        return {"accuracy": correct / max(len(want), 1), "n": len(want)}
+        return pl.evaluate_corpus(self.classify_batch, corpus)
 
     def save(self, path: str) -> None:
         if self.params is None:

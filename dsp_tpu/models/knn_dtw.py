@@ -61,8 +61,7 @@ class KnnDtwRecognizer:
 
     def extract(self, signals) -> pl.Features:
         """Host list of signals -> device Features (one jit call)."""
-        x, n = self._pad_signals(signals)
-        return pl.extract_features(x, n, self.mats, self.cfg)
+        return pl.extract_signals(signals, self.mats, self.cfg)
 
     def enroll(self, label: str, signals) -> None:
         """Add template utterances for ``label`` to the bank."""
@@ -203,21 +202,7 @@ class KnnDtwRecognizer:
 
     def evaluate(self, corpus: dict) -> dict:
         """{label: [signals]} -> accuracy + per-label confusion counts."""
-        sigs, want = [], []
-        for lab, xs in corpus.items():
-            sigs.extend(xs)
-            want.extend([lab] * len(xs))
-        got = self.classify_batch(sigs)
-        correct = sum(g == w for g, w in zip(got, want))
-        confusion: dict = {}
-        for g, w in zip(got, want):
-            confusion.setdefault(w, {}).setdefault(g, 0)
-            confusion[w][g] += 1
-        return {
-            "accuracy": correct / max(len(want), 1),
-            "n": len(want),
-            "confusion": confusion,
-        }
+        return pl.evaluate_corpus(self.classify_batch, corpus)
 
     # ------------------------------------------------------------ condense
     def condense(self, method: str = "dba", n_iter: int = 3) -> None:
@@ -270,6 +255,7 @@ class KnnDtwRecognizer:
             matcher=self.matcher,
             ltw_len=self.ltw_len,
             shortlist=self.shortlist,
+            bucketed=self.bucketed,
             frontend=json.dumps(frontend_signature(self.cfg)),
         )
 
@@ -279,9 +265,10 @@ class KnnDtwRecognizer:
         matcher = str(data["matcher"]) if "matcher" in data.files else "dtw"
         ltw_len = int(data["ltw_len"]) if "ltw_len" in data.files else 64
         shortlist = int(data["shortlist"]) if "shortlist" in data.files else 8
+        bucketed = bool(data["bucketed"]) if "bucketed" in data.files else False
         check_frontend_signature(data, cfg, path)
         rec = cls(cfg, k=int(data["k"]), matcher=matcher, ltw_len=ltw_len,
-                  shortlist=shortlist)
+                  shortlist=shortlist, bucketed=bucketed)
         rec.labels = json.loads(str(data["labels"]))
         rec._bank_feats = [f for f in data["bank"]]
         rec._bank_lens = [int(v) for v in data["lens"]]
@@ -297,7 +284,10 @@ def frontend_signature(cfg: PipelineConfig) -> dict:
         "n_mfcc": f.n_mfcc,
         "add_deltas": f.add_deltas,
         "cmn": f.cmn,
-        "denoise": f.denoise or "none",
+        # the subtraction parameters shape the feature space too — a
+        # mismatched alpha would silently classify in a different space
+        "denoise": (f"{f.denoise}:a{f.ss_alpha}:b{f.ss_beta}:f{f.ss_frac}"
+                    if f.denoise else "none"),
         "feature_type": f.feature_type,
         "n_feats": f.n_feats,
         "max_frames": cfg.max_frames,

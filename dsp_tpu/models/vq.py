@@ -107,8 +107,7 @@ class VqRecognizer:
 
     # ------------------------------------------------------------- enroll
     def extract(self, signals) -> pl.Features:
-        x, n = pl.pad_signals(signals, self.cfg.max_samples)
-        return pl.extract_features(x, n, self.mats, self.cfg)
+        return pl.extract_signals(signals, self.mats, self.cfg)
 
     def enroll(self, label: str, signals) -> None:
         if label not in self.labels:
@@ -149,9 +148,25 @@ class VqRecognizer:
                 n_codes=self.vq.n_codes, n_iter=self.vq.n_iter))
 
     # ------------------------------------------------------------ classify
-    def classify_batch(self, signals, return_distances: bool = False):
+    def classify_batch(self, signals, return_distances: bool = False,
+                       chunk: int = 256):
+        """List of signals -> labels.  Chunked like KnnDtwRecognizer:
+        the [B, W, T, C] distance intermediate scales with the batch, so
+        large corpora must not go through one einsum."""
         if self.codebooks is None:
             self.fit()
+        if len(signals) > chunk:
+            labels, dists = [], []
+            for lo in range(0, len(signals), chunk):
+                part = list(signals[lo:lo + chunk])
+                n_real = len(part)
+                part += [part[-1]] * (chunk - n_real)     # pad, same shapes
+                got = self.classify_batch(part, return_distances=True)
+                labels.extend(got[0][:n_real])
+                dists.append(got[1][:n_real])
+            if return_distances:
+                return labels, np.concatenate(dists)
+            return labels
         feats = self.extract(signals)
         d = np.asarray(vq_distortion(feats.feats, feats.length,
                                      jnp.asarray(self.codebooks),
@@ -163,18 +178,7 @@ class VqRecognizer:
         return self.classify_batch([signal])[0]
 
     def evaluate(self, corpus: dict) -> dict:
-        sigs, want = [], []
-        for lab, xs in corpus.items():
-            sigs.extend(xs)
-            want.extend([lab] * len(xs))
-        got = self.classify_batch(sigs)
-        correct = sum(g == w for g, w in zip(got, want))
-        confusion: dict = {}
-        for g, w in zip(got, want):
-            confusion.setdefault(w, {}).setdefault(g, 0)
-            confusion[w][g] += 1
-        return {"accuracy": correct / max(len(want), 1),
-                "n": len(want), "confusion": confusion}
+        return pl.evaluate_corpus(self.classify_batch, corpus)
 
     # -------------------------------------------------------- checkpointing
     def save(self, path: str) -> None:

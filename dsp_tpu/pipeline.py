@@ -163,9 +163,12 @@ def vote_topk(top_d: jax.Array, top_labels: jax.Array,
     gathers per-shard top-k candidates instead of full distance rows).
     """
     onehot = jax.nn.one_hot(top_labels, n_labels)             # [B, k, L]
-    # candidates at ~BIG are masked cells (unreachable banded pairs,
-    # mesh padding templates) — they must not cast votes
-    live = (top_d < jdtw.BIG / 2).astype(onehot.dtype)[..., None]
+    # huge candidates are masked cells and must not cast votes.  The
+    # threshold is 1e20, NOT BIG/2: unreachable pairs arrive NORMALIZED
+    # (BIG/(la+lb) ~ 2.5e27 — common under slope="itakura"'s length
+    # rule), while mesh padding arrives as raw BIG; both sit far above
+    # 1e20 and every genuine distance sits far below it
+    live = (top_d < 1e20).astype(onehot.dtype)[..., None]
     onehot = onehot * live
     votes = onehot.sum(axis=1)                                # [B, L]
     dist_sum = (onehot * top_d[..., None]).sum(axis=1)        # [B, L]
@@ -256,6 +259,35 @@ def recognize_batch(signals: jax.Array, n_samples: jax.Array,
     feats = extract_features(signals, n_samples, mats, cfg, precision)
     return classify_features(feats, bank, bank_label_ids, cfg=cfg,
                              precision=precision)
+
+
+def extract_signals(signals, mats: fe.FrontendMatrices,
+                    cfg: PipelineConfig,
+                    precision=jax.lax.Precision.HIGHEST) -> Features:
+    """Host list of 1-D signals -> device Features (pad + one jit call).
+
+    The shared `extract` of every recognizer family."""
+    x, n = pad_signals(signals, cfg.max_samples)
+    return extract_features(x, n, mats, cfg, precision)
+
+
+def evaluate_corpus(classify_batch, corpus: dict) -> dict:
+    """{label: [signals]} -> accuracy + per-label confusion counts.
+
+    Shared by every recognizer family's ``evaluate``; ``classify_batch``
+    is the family's list-of-signals -> list-of-labels callable."""
+    sigs, want = [], []
+    for lab, xs in corpus.items():
+        sigs.extend(xs)
+        want.extend([lab] * len(xs))
+    got = classify_batch(sigs)
+    correct = sum(g == w for g, w in zip(got, want))
+    confusion: dict = {}
+    for g, w in zip(got, want):
+        confusion.setdefault(w, {}).setdefault(g, 0)
+        confusion[w][g] += 1
+    return {"accuracy": correct / max(len(want), 1),
+            "n": len(want), "confusion": confusion}
 
 
 def classify_features_bucketed(feats: Features, bank: Features,

@@ -102,3 +102,20 @@ def test_unsupported_paths_raise():
         mfcc_frames_pallas(jnp.zeros((8, SS.frame_len)), SS, interpret=True)
     with pytest.raises(ValueError, match="denoise"):
         fe.mfcc(x, dataclasses.replace(SS, denoise="bogus"))
+
+
+def test_checkpoint_refuses_mismatched_ss_params(tmp_path):
+    import os
+
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    cfg = dataclasses.replace(PipelineConfig(), frontend=SS)
+    rec = KnnDtwRecognizer(cfg)
+    rec.enroll("one", [synth_word("one", 0)])
+    p = os.path.join(tmp_path, "bank.npz")
+    rec.save(p)
+    other = dataclasses.replace(
+        cfg, frontend=dataclasses.replace(SS, ss_alpha=5.0))
+    with pytest.raises(ValueError, match="front-end"):
+        KnnDtwRecognizer.load(p, other)
+    KnnDtwRecognizer.load(p, cfg)          # matching params still load

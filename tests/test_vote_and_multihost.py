@@ -45,3 +45,15 @@ def test_min_max_across_hosts_is_exact():
     lo, hi = multihost._min_max_across_hosts(0.75)
     assert lo == hi == 0.75
     assert multihost.jnp_mean_across_hosts(2.0) == 2.0
+
+
+def test_vote_topk_drops_normalized_unreachable_candidates():
+    """Unreachable pairs arrive NORMALIZED (~BIG/(la+lb) ~ 2.5e27, e.g.
+    under slope='itakura') — they must not out-vote a single reachable
+    candidate (regression: the old BIG/2 liveness threshold let them)."""
+    from dsp_tpu.pipeline import vote_topk
+
+    top_d = jnp.asarray([[0.5, 2.5e27, 2.5e27]], jnp.float32)
+    top_labels = jnp.asarray([[0, 1, 1]], jnp.int32)
+    got = vote_topk(top_d, top_labels, n_labels=2)
+    assert int(got[0]) == 0
