@@ -85,8 +85,8 @@ def _dp_unconstrained(cost: np.ndarray) -> np.ndarray:
     return dp
 
 
-def _dp_itakura(cost: np.ndarray) -> np.ndarray:
-    """Itakura slope-constrained DP table (DtwConfig.slope="itakura").
+def _dp_itakura_tables(cost: np.ndarray):
+    """Itakura slope-constrained DP tables (DtwConfig.slope="itakura").
 
     Steps {(1,0),(1,1),(1,2)} with no two consecutive (1,0):
 
@@ -94,7 +94,7 @@ def _dp_itakura(cost: np.ndarray) -> np.ndarray:
         D[i,j] = min(N[i,j], c[i,j] + N[i-1,j])         (or one vertical)
 
     Cells unreachable under the slope limit stay ~BIG (finite; BIG
-    accumulates additively, never overflows f32).
+    accumulates additively, never overflows f32).  Returns (D, N).
     """
     ta, tb = cost.shape
     dp = np.full((ta, tb), BIG, dtype=np.float64)   # D: best any-arrival
@@ -108,7 +108,37 @@ def _dp_itakura(cost: np.ndarray) -> np.ndarray:
             n = cost[i, j] + best_n
             nd[i, j] = n
             dp[i, j] = min(n, cost[i, j] + nd[i - 1, j])
-    return dp
+    return dp, nd
+
+
+def _dp_itakura(cost: np.ndarray) -> np.ndarray:
+    return _dp_itakura_tables(cost)[0]
+
+
+def _backtrace_itakura(cost: np.ndarray, dp: np.ndarray, nd: np.ndarray):
+    """Optimal Itakura path, end-first, from the (D, N) value tables.
+
+    State D may take a vertical step (to state N at the row above,
+    since two verticals never chain); state N must arrive diagonally.
+    Ties prefer the non-vertical branch, then the (1,1) step — the jax
+    backtrace (ops/align.py) uses the identical rules so paths match
+    exactly.
+    """
+    ta, tb = cost.shape
+    i, j, vert_ok = ta - 1, tb - 1, True
+    path = [(i, j)]
+    while i > 0:
+        if vert_ok and cost[i, j] + nd[i - 1, j] < nd[i, j]:
+            i, vert_ok = i - 1, False
+        else:
+            d1 = dp[i - 1, j - 1] if j >= 1 else BIG
+            d2 = dp[i - 1, j - 2] if j >= 2 else BIG
+            dj = 1 if d1 <= d2 else 2
+            # j<0 can only happen tracing an UNREACHABLE (all-BIG) end
+            # cell; clamp so the degenerate walk still terminates cleanly
+            i, j, vert_ok = i - 1, max(j - dj, 0), True
+        path.append((i, j))
+    return path
 
 
 def dtw_distance_masked(a: np.ndarray, b: np.ndarray, valid: np.ndarray,
@@ -177,11 +207,12 @@ def dtw_distance(
                         cost[i, j] = BIG
 
     if cfg.slope == "itakura":
-        if return_path:
-            raise NotImplementedError("return_path with slope='itakura'")
-        dp = _dp_itakura(cost)
-    else:
-        dp = _dp_unconstrained(cost)
+        dp, nd = _dp_itakura_tables(cost)
+        dist = dp[ta - 1, tb - 1] / float(ta + tb)
+        if not return_path:
+            return dist
+        return dist, _backtrace_itakura(cost, dp, nd)[::-1]
+    dp = _dp_unconstrained(cost)
 
     dist = dp[ta - 1, tb - 1] / float(ta + tb)
     if not return_path:

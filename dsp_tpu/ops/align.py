@@ -44,6 +44,55 @@ def _dp_table(cost: jax.Array) -> jax.Array:
     return table
 
 
+def _dp_tables_itakura(cost: jax.Array):
+    """(D, N) tables of the Itakura recurrence (golden: _dp_itakura_tables)."""
+    t, u = cost.shape
+    big2 = jnp.full(2, BIG, cost.dtype)
+
+    def row_step(carry, inp):
+        d_prev, n_prev = carry
+        c_row, i = inp
+        start = jnp.where(i == 0, 0.0, BIG).astype(cost.dtype)
+        s1 = jnp.concatenate([start[None], d_prev[:-1]])
+        s2 = jnp.concatenate([big2, d_prev[:-2]])
+        n_row = c_row + jnp.minimum(s1, s2)
+        d_row = jnp.minimum(n_row, c_row + n_prev)
+        return (d_row, n_row), (d_row, n_row)
+
+    init = (jnp.full_like(cost[0], BIG), jnp.full_like(cost[0], BIG))
+    _, (dtab, ntab) = jax.lax.scan(row_step, init, (cost, jnp.arange(t)))
+    return dtab, ntab
+
+
+def _backtrace_itakura(cost, dtab, ntab, len_a, len_b, steps):
+    """End-first Itakura path via the two-state value tables.
+
+    Tie rules (non-vertical branch first, then the (1,1) step) mirror
+    golden/dtw.py:_backtrace_itakura exactly, so paths match the oracle
+    element-for-element.
+    """
+    def back_step(carry, _):
+        i, j, vert_ok, done = carry
+        ndm1 = jnp.where(i > 0, ntab[jnp.maximum(i - 1, 0), j], BIG)
+        vert = vert_ok & (i > 0) & (cost[i, j] + ndm1 < ntab[i, j])
+        d1 = jnp.where((i > 0) & (j > 0),
+                       dtab[jnp.maximum(i - 1, 0), jnp.maximum(j - 1, 0)], BIG)
+        d2 = jnp.where((i > 0) & (j > 1),
+                       dtab[jnp.maximum(i - 1, 0), jnp.maximum(j - 2, 0)], BIG)
+        dj = jnp.where(vert, 0, jnp.where(d1 <= d2, 1, 2))
+        at_origin = i == 0
+        out = (jnp.where(done, -1, i), jnp.where(done, -1, j))
+        new_done = done | at_origin
+        ni = jnp.where(new_done, 0, i - 1)
+        # j<0 only on UNREACHABLE end cells (all-BIG walk); clamp at 0
+        nj = jnp.where(new_done, 0, jnp.maximum(j - dj, 0))
+        return (ni, nj, ~vert, new_done), out
+
+    init = (len_a - 1, len_b - 1, jnp.asarray(True), jnp.asarray(False))
+    _, (path_i, path_j) = jax.lax.scan(back_step, init, None, length=steps)
+    return path_i, path_j
+
+
 def dtw_alignment(a: jax.Array, b: jax.Array,
                   len_a: jax.Array | None = None,
                   len_b: jax.Array | None = None,
@@ -53,17 +102,22 @@ def dtw_alignment(a: jax.Array, b: jax.Array,
 
     Returns (dist, path_i [L], path_j [L], n_steps) with L = T+U-1.
     The path is emitted END-FIRST — entry 0 is (len_a-1, len_b-1), entry
-    n_steps-1 is (0, 0) — and padded with -1 beyond n_steps.
+    n_steps-1 is (0, 0) — and padded with -1 beyond n_steps.  With
+    ``cfg.slope="itakura"`` the path obeys the slope-constrained step
+    set (backtraced from the two-state (D, N) tables).
     """
-    if cfg.slope is not None:
-        raise ValueError("dtw_alignment backtraces the unconstrained "
-                         "step set only (cfg.slope unsupported)")
     t, u = a.shape[0], b.shape[0]
     if len_a is None:
         len_a = jnp.asarray(t)
     if len_b is None:
         len_b = jnp.asarray(u)
     cost = masked_cost(a, b, len_a, len_b, cfg, precision)
+    if cfg.slope == "itakura":
+        dtab, ntab = _dp_tables_itakura(cost)
+        dist = dtab[len_a - 1, len_b - 1] / (len_a + len_b).astype(cost.dtype)
+        path_i, path_j = _backtrace_itakura(cost, dtab, ntab,
+                                            len_a, len_b, t + u - 1)
+        return dist, path_i, path_j, jnp.sum(path_i >= 0)
     table = _dp_table(cost)
     dist = table[len_a - 1, len_b - 1] / (len_a + len_b).astype(cost.dtype)
 

@@ -186,10 +186,6 @@ def test_unsupported_impls_raise():
     with pytest.raises(ValueError, match="slope"):
         dtw_batch_fused_banded(q, ql, bank, bl,
                                DtwConfig(slope="bogus"), interpret=True)
-    with pytest.raises(NotImplementedError):
-        gd.dtw_distance(np.zeros((4, 2)), np.zeros((4, 2)),
-                        DtwConfig(band_frac=None, slope="itakura"),
-                        return_path=True)
 
 
 def test_recognizer_with_slope_end_to_end():
@@ -212,3 +208,72 @@ def test_recognizer_with_slope_end_to_end():
     assert list(got) == labels
     # the matched template is reachable (finite) for every query
     assert (np.asarray(dists).min(axis=1) < UNREACH).all()
+
+
+def _check_itakura_path(path, ta, tb):
+    assert path[0] == (0, 0) and path[-1] == (ta - 1, tb - 1)
+    lastv = False
+    for (i0, j0), (i1, j1) in zip(path, path[1:]):
+        di, dj = i1 - i0, j1 - j0
+        assert di == 1 and dj in (0, 1, 2)
+        if dj == 0:
+            assert not lastv, "two consecutive vertical steps"
+        lastv = dj == 0
+    return True
+
+
+def test_golden_backtrace_path_is_valid_and_optimal():
+    rng = np.random.default_rng(8)
+    for _ in range(20):
+        ta = int(rng.integers(3, 12))
+        tb = int(rng.integers(max(2, (ta + 2) // 2), 2 * ta - 1))
+        cost = rng.random((ta, tb))
+        dp = gd._dp_itakura(cost)
+        if dp[ta - 1, tb - 1] >= UNREACH:
+            continue
+        path = gd._backtrace_itakura(cost, *gd._dp_itakura_tables(cost))[::-1]
+        _check_itakura_path(path, ta, tb)
+        path_cost = sum(cost[i, j] for i, j in path)
+        assert abs(path_cost - dp[ta - 1, tb - 1]) < 1e-9
+
+
+def test_jax_alignment_matches_golden_path():
+    from dsp_tpu.ops.align import dtw_alignment
+
+    rng = np.random.default_rng(9)
+    T, U, F = 24, 30, 5
+    cfg = DtwConfig(band_frac=None, slope="itakura")
+    for la, lb in ((24, 30), (20, 25), (16, 30)):
+        a = rng.standard_normal((T, F)).astype(np.float32)
+        b = rng.standard_normal((U, F)).astype(np.float32)
+        dist, pi, pj, ns = dtw_alignment(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(la), jnp.asarray(lb),
+            cfg)
+        if float(dist) >= UNREACH / (la + lb):
+            continue
+        ns = int(ns)
+        got = list(zip(np.asarray(pi)[:ns].tolist(),
+                       np.asarray(pj)[:ns].tolist()))[::-1]
+        gdist, gpath = gd.dtw_distance(a[:la], b[:lb], cfg, return_path=True)
+        assert got == gpath
+        assert abs(float(dist) - gdist) < 1e-4
+        _check_itakura_path(got, la, lb)
+
+
+def test_condense_dba_under_slope():
+    import dataclasses
+
+    from dsp_tpu import KnnDtwRecognizer, PipelineConfig
+    from dsp_tpu.io.dataset import synth_word
+
+    base = PipelineConfig()
+    cfg = dataclasses.replace(
+        base, dtw=dataclasses.replace(base.dtw, slope="itakura"))
+    labels = ["zero", "one", "two"]
+    rec = KnnDtwRecognizer(cfg)
+    for lab in labels:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(3)])
+    rec.condense("dba", n_iter=2)
+    assert rec.n_templates == len(labels)
+    got = rec.classify_batch([synth_word(lab, 50) for lab in labels])
+    assert list(got) == labels
