@@ -193,6 +193,7 @@ def cmd_evaluate_hmm(args):
     hmm = HmmConfig(n_states=args.states, n_mix=args.mix, n_iter=args.iters)
     rec = GmmHmmRecognizer.load(args.model, cfg, hmm)
     result = rec.evaluate(_load_corpus(args.corpus, args.sr))
+    print(json.dumps(result["confusion"], indent=2, sort_keys=True))
     print(f"accuracy: {result['accuracy']:.4f} ({result['n']} utterances)")
     if args.metrics_out:
         m = RunMetrics("evaluate-hmm")
@@ -215,6 +216,7 @@ def cmd_evaluate_vq(args):
     cfg = _pipeline_cfg(args)
     rec = VqRecognizer.load(args.model, cfg)
     result = rec.evaluate(_load_corpus(args.corpus, args.sr))
+    print(json.dumps(result["confusion"], indent=2, sort_keys=True))
     print(f"accuracy: {result['accuracy']:.4f} ({result['n']} utterances)")
     if args.metrics_out:
         m = RunMetrics("evaluate-vq")
