@@ -10,7 +10,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 10_000 (the BASELINE.json north-star floor).
 
 Env knobs: BENCH_UTTS (default 1024), BENCH_TEMPLATES (100),
-BENCH_CHUNK (256), BENCH_PASSES (2), BENCH_PRECISION (default|highest).
+BENCH_CHUNK (256), BENCH_PASSES (2), BENCH_PRECISION (default|highest),
+BENCH_SLOPE ("" = shipped default | "itakura" — the slope-constrained
+matcher, ~1.4x faster with different alignment semantics).
 """
 
 import json
@@ -45,6 +47,11 @@ def main():
                  else jax.lax.Precision.DEFAULT)
 
     cfg = PipelineConfig()
+    slope = os.environ.get("BENCH_SLOPE", "")    # "" (shipped default) | "itakura"
+    if slope:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, dtw=dataclasses.replace(cfg.dtw, slope=slope))
     mats = fe.make_matrices(cfg.frontend)
 
     # template bank: 10 words x (n_templates/10) takes each
