@@ -465,9 +465,10 @@ class GmmHmmRecognizer:
     """Word-per-HMM recognizer mirroring the KnnDtwRecognizer surface."""
 
     def __init__(self, cfg: PipelineConfig = PipelineConfig(),
-                 hmm: HmmConfig = HmmConfig()):
+                 hmm: HmmConfig = HmmConfig(), mesh=None):
         self.cfg = cfg
         self.hmm = hmm
+        self.mesh = mesh                       # data-parallel decode mesh
         self.mats = fe.make_matrices(cfg.frontend)
         self.labels: list[str] = []
         self.params: HmmParams | None = None   # stacked [W, ...]
@@ -534,13 +535,44 @@ class GmmHmmRecognizer:
     def classify_batch(self, signals, return_scores: bool = False):
         if self.params is None:
             raise ValueError("model not fitted")
-        feats = self.extract(signals)
-        scores = score_words(feats.feats, feats.length, self.params)  # [B, W]
-        ids = np.asarray(jnp.argmax(scores, axis=-1))
+        if self.mesh is not None:
+            scores = self._score_sharded(signals)              # [B, W] np
+        else:
+            feats = self.extract(signals)
+            scores = np.asarray(
+                score_words(feats.feats, feats.length, self.params))
+        ids = scores.argmax(axis=-1)
         labels = [self.labels[int(i)] for i in ids]
         if return_scores:
-            return labels, np.asarray(scores)
+            return labels, scores
         return labels
+
+    def _score_sharded(self, signals) -> np.ndarray:
+        """Data-parallel Viterbi decode: the utterance batch shards over
+        the mesh data axis, word params replicate; XLA propagates the
+        shardings through the jitted extract+score program (the decode
+        is embarrassingly parallel — zero collectives)."""
+        from dsp_tpu import parallel as par
+
+        x, n = self._pad_signals(signals)
+        nd = self.mesh.shape[par.DATA_AXIS] * self.mesh.shape[par.BANK_AXIS]
+        x, b_orig = par.pad_axis_to_multiple(np.asarray(x), nd)
+        n, _ = par.pad_axis_to_multiple(np.maximum(np.asarray(n), 1), nd)
+        flat = self.mesh.devices.reshape(-1)
+        import jax.sharding as shd
+        mesh1 = shd.Mesh(flat, ("decode",))
+        xs = jax.device_put(x, shd.NamedSharding(mesh1, shd.PartitionSpec("decode")))
+        ns = jax.device_put(n, shd.NamedSharding(mesh1, shd.PartitionSpec("decode")))
+        params = jax.tree.map(
+            lambda a: jax.device_put(a, shd.NamedSharding(mesh1, shd.PartitionSpec())),
+            self.params)
+
+        @jax.jit
+        def run(xs, ns, params):
+            feats = pl.extract_features(xs, ns, self.mats, self.cfg)
+            return score_words(feats.feats, feats.length, params)
+
+        return np.asarray(run(xs, ns, params))[:b_orig]
 
     def recognize(self, signal) -> str:
         return self.classify_batch([signal])[0]

@@ -97,9 +97,10 @@ class VqRecognizer:
     """Per-word VQ codebooks; classify by minimum mean distortion."""
 
     def __init__(self, cfg: PipelineConfig = PipelineConfig(),
-                 vq: VqConfig = VqConfig()):
+                 vq: VqConfig = VqConfig(), mesh=None):
         self.cfg = cfg
         self.vq = vq
+        self.mesh = mesh                # data-parallel scoring mesh
         self.mats = fe.make_matrices(cfg.frontend)
         self.labels: list[str] = []
         self._train_feats: dict[int, list[np.ndarray]] = {}  # id -> [Ti,F]
@@ -167,12 +168,40 @@ class VqRecognizer:
             if return_distances:
                 return labels, np.concatenate(dists)
             return labels
-        feats = self.extract(signals)
-        d = np.asarray(vq_distortion(feats.feats, feats.length,
-                                     jnp.asarray(self.codebooks),
-                                     self.vq.squared))
+        if self.mesh is not None:
+            d = self._distortion_sharded(signals)
+        else:
+            feats = self.extract(signals)
+            d = np.asarray(vq_distortion(feats.feats, feats.length,
+                                         jnp.asarray(self.codebooks),
+                                         self.vq.squared))
         got = [self.labels[int(i)] for i in d.argmin(axis=1)]
         return (got, d) if return_distances else got
+
+    def _distortion_sharded(self, signals) -> np.ndarray:
+        """Data-parallel scoring: utterances shard over all mesh devices,
+        codebooks replicate (embarrassingly parallel, zero collectives)."""
+        import jax.sharding as shd
+
+        from dsp_tpu import parallel as par
+
+        x, n = pl.pad_signals(signals, self.cfg.max_samples)
+        nd = int(np.prod(list(self.mesh.shape.values())))
+        x, b_orig = par.pad_axis_to_multiple(np.asarray(x), nd)
+        n, _ = par.pad_axis_to_multiple(np.maximum(np.asarray(n), 1), nd)
+        mesh1 = shd.Mesh(self.mesh.devices.reshape(-1), ("decode",))
+        data = shd.NamedSharding(mesh1, shd.PartitionSpec("decode"))
+        rep = shd.NamedSharding(mesh1, shd.PartitionSpec())
+        xs, ns = jax.device_put(x, data), jax.device_put(n, data)
+        cb = jax.device_put(jnp.asarray(self.codebooks), rep)
+
+        @jax.jit
+        def run(xs, ns, cb):
+            feats = pl.extract_features(xs, ns, self.mats, self.cfg)
+            return vq_distortion(feats.feats, feats.length, cb,
+                                 self.vq.squared)
+
+        return np.asarray(run(xs, ns, cb))[:b_orig]
 
     def recognize(self, signal) -> str:
         return self.classify_batch([signal])[0]

@@ -185,3 +185,43 @@ def test_recognizer_mesh_knn_and_distances():
     assert got == want
     assert got_d.shape == want_d.shape
     np.testing.assert_allclose(got_d, want_d, rtol=1e-5)
+
+
+def test_hmm_mesh_decode_matches_single_device():
+    """Data-parallel HMM decode (GmmHmmRecognizer(mesh=...)) returns the
+    same labels and scores as the single-device path."""
+    from dsp_tpu import parallel as par
+    from dsp_tpu.config import HmmConfig, PipelineConfig
+    from dsp_tpu.io.dataset import make_corpus, synth_word
+    from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+
+    labels = ["zero", "one", "two"]
+    train = make_corpus(labels, n_per_word=3, seed=0)
+    rec = GmmHmmRecognizer(PipelineConfig(),
+                           HmmConfig(n_states=4, n_mix=2, n_iter=3))
+    rec.fit(train)
+    queries = [synth_word(lab, 40 + i) for i, lab in enumerate(labels * 3)]
+
+    want, want_s = rec.classify_batch(queries, return_scores=True)
+    rec.mesh = par.make_mesh(2, 4)
+    got, got_s = rec.classify_batch(queries, return_scores=True)
+    assert got == want
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-4)
+
+
+def test_vq_mesh_scoring_matches_single_device():
+    from dsp_tpu import parallel as par
+    from dsp_tpu.config import PipelineConfig, VqConfig
+    from dsp_tpu.io.dataset import make_corpus, synth_word
+    from dsp_tpu.models.vq import VqRecognizer
+
+    labels = ["zero", "one", "two"]
+    rec = VqRecognizer(PipelineConfig(), VqConfig(n_codes=16, n_iter=4))
+    rec.fit(make_corpus(labels, n_per_word=2, seed=0))
+    queries = [synth_word(lab, 70 + i) for i, lab in enumerate(labels * 3)]
+
+    want, want_d = rec.classify_batch(queries, return_distances=True)
+    rec.mesh = par.make_mesh(4, 2)
+    got, got_d = rec.classify_batch(queries, return_distances=True)
+    assert got == want
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-5, atol=1e-6)
