@@ -96,6 +96,20 @@ def _add_common(p: argparse.ArgumentParser):
                    help="shard the template bank over all local devices")
 
 
+def _maybe_mesh(args):
+    """--mesh -> a device mesh when >1 device is visible, else None."""
+    if not getattr(args, "mesh", False):
+        return None
+    import jax
+
+    from dsp_tpu import parallel as par
+    if len(jax.devices()) <= 1:
+        return None
+    mesh = par.make_mesh()
+    log.info("using a %s mesh", dict(mesh.shape))
+    return mesh
+
+
 def _load_corpus(path: str, sr: int):
     from dsp_tpu.io import native
     from dsp_tpu.io.dataset import load_corpus_dir
@@ -151,15 +165,8 @@ def cmd_recognize(args):
 def cmd_evaluate(args):
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
     cfg = _pipeline_cfg(args)
-    mesh = None
-    if args.mesh:
-        import jax
-        from dsp_tpu import parallel as par
-        if len(jax.devices()) > 1:
-            mesh = par.make_mesh()
-            log.info("evaluating on a %s mesh", dict(mesh.shape))
     rec = KnnDtwRecognizer.load(args.bank, cfg)
-    rec.mesh = mesh
+    rec.mesh = _maybe_mesh(args)
     if args.k != rec.k:                 # --k overrides the enrolled value
         rec.k = args.k
     if args.matcher != rec.matcher:
@@ -192,6 +199,7 @@ def cmd_evaluate_hmm(args):
     cfg = _pipeline_cfg(args)
     hmm = HmmConfig(n_states=args.states, n_mix=args.mix, n_iter=args.iters)
     rec = GmmHmmRecognizer.load(args.model, cfg, hmm)
+    rec.mesh = _maybe_mesh(args)
     result = rec.evaluate(_load_corpus(args.corpus, args.sr))
     print(json.dumps(result["confusion"], indent=2, sort_keys=True))
     print(f"accuracy: {result['accuracy']:.4f} ({result['n']} utterances)")
@@ -215,6 +223,7 @@ def cmd_evaluate_vq(args):
     from dsp_tpu.models.vq import VqRecognizer
     cfg = _pipeline_cfg(args)
     rec = VqRecognizer.load(args.model, cfg)
+    rec.mesh = _maybe_mesh(args)
     result = rec.evaluate(_load_corpus(args.corpus, args.sr))
     print(json.dumps(result["confusion"], indent=2, sort_keys=True))
     print(f"accuracy: {result['accuracy']:.4f} ({result['n']} utterances)")
