@@ -58,14 +58,12 @@ from dsp_tpu.config import DtwConfig
 from dsp_tpu.ops.dtw import BIG
 from dsp_tpu.window_plan import LANE, plan_window, round_up as _round_up
 
-# ROUND-3 CANDIDATE: QUERY_TILE=256 measured 1.31x faster at the
-# band-0.17 (row_block=16) plan — 37.8 vs 49.4 ms at 25,600 pairs
-# (B=256, v5e; at the old rb=32 plan the two tiles were equal; VMEM cs
-# scratch at 256 is ~27 MB).  Kept at 128 this round only because the
-# 256-variant's bench-shape compile could not be cache-warmed before
-# the round boundary (the driver's bench would eat a cold multi-minute
-# relay compile).  Flip to 256 + re-verify bench first thing round 3.
-QUERY_TILE = 128
+# QUERY_TILE=256 measured 1.31x faster than 128 at the band-0.17
+# (row_block=16) plan — 37.8 vs 49.4 ms at 25,600 pairs (B=256, v5e; at
+# the old rb=32 plan the two tiles were equal; VMEM cs scratch at 256 is
+# ~27 MB).  Shipped as default in round 3 after cache-warming the
+# bench-shape compile (the round-2 blocker); see docs/PERF.md.
+QUERY_TILE = 256
 
 # Microbench-only phase ablation (scripts/mb_fused_banded.py --ablate):
 # None (off), "no_dp" (stop after extraction), "no_roll" (skip the window
