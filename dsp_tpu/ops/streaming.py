@@ -55,6 +55,10 @@ class StreamState(NamedTuple):
     run_low: jax.Array         # [] consecutive low-energy frames
     run_audible: jax.Array     # [] consecutive audible frames
     utt_start: jax.Array       # [] start frame of current utterance
+    # --- denoise state (all-zero when FrontendConfig.denoise is None) ---
+    noise_psd: jax.Array       # [K] running noise power-spectrum sum over
+    #                               the same first-n_init valid frames the
+    #                               VAD noise stats use (count = n_noise)
 
 
 class ChunkOutput(NamedTuple):
@@ -87,6 +91,7 @@ def init_state(cfg: FrontendConfig, chunk_len: int) -> StreamState:
         n_samples=zi, frame_idx=zi,
         vad_state=zi, noise_e=z, noise_z=z, n_noise=z,
         run_high=zi, run_low=zi, run_audible=zi, utt_start=zi,
+        noise_psd=jnp.zeros((cfg.n_fft // 2 + 1,), jnp.float32),
     )
 
 
@@ -151,14 +156,38 @@ def process_chunk(state: StreamState, chunk: jax.Array,
     y = buf - fcfg.preemphasis * prev
     frames_y = fe.frame(y, fcfg.frame_len, fcfg.hop_len)[:tc]
 
-    mfcc = fe.mfcc_from_frames(frames_y, mats, fcfg)
-    e = jvad.short_time_energy(frames_raw)
-    z = jvad.zero_crossing_rate(frames_raw)
-
     # frame f in this chunk starts at global sample (n_samples - R) + f*hop
     starts = state.n_samples - r + jnp.arange(tc) * fcfg.hop_len
     frame_valid = starts >= 0
     fidx = state.frame_idx + jnp.cumsum(frame_valid.astype(jnp.int32)) - 1
+
+    noise_psd = state.noise_psd
+    if fcfg.denoise == "spectral_subtraction":
+        # Causal cross-chunk spectral subtraction.  The offline front-end
+        # (ops/frontend.py:spectral_subtract) estimates the noise PSD as
+        # the mean over the k lowest-energy frames of the WHOLE recording
+        # — non-causal, so a per-chunk mirror would estimate from ~tc
+        # frames and silently shift the feature space vs the offline-
+        # denoised bank.  Instead the carry accumulates the PSD of the
+        # same first ``vcfg.n_init`` valid frames the VAD noise stats use
+        # (count shared via state.n_noise); for stationary noise leading
+        # the speech both estimators converge on the true noise PSD
+        # (tested: tests/test_streaming.py::test_streaming_denoise*).
+        pspec = fe.power_spectrum_dft(frames_y * mats.window, mats, fcfg.n_fft)
+        vf = frame_valid.astype(jnp.float32)
+        n_before = state.n_noise + jnp.cumsum(vf) - vf        # exclusive
+        collect = vf * (n_before < vcfg.n_init).astype(jnp.float32)
+        noise_psd = state.noise_psd + jnp.sum(pspec * collect[:, None], 0)
+        cnt = jnp.maximum(state.n_noise + jnp.sum(collect), 1.0)
+        sub = pspec - fcfg.ss_alpha * (noise_psd / cnt)[None, :]
+        pspec = jnp.maximum(sub, fcfg.ss_beta * pspec)
+        mfcc = fe.mfcc_from_pspec(pspec, frames_y, mats, fcfg)
+    elif fcfg.denoise is not None:
+        raise ValueError(f"unknown FrontendConfig.denoise {fcfg.denoise!r}")
+    else:
+        mfcc = fe.mfcc_from_frames(frames_y, mats, fcfg)
+    e = jvad.short_time_energy(frames_raw)
+    z = jvad.zero_crossing_rate(frames_raw)
 
     vad_carry = (state.vad_state, state.noise_e, state.noise_z, state.n_noise,
                  state.run_high, state.run_low, state.run_audible,
@@ -174,6 +203,7 @@ def process_chunk(state: StreamState, chunk: jax.Array,
         vad_state=vad_carry[0], noise_e=vad_carry[1], noise_z=vad_carry[2],
         n_noise=vad_carry[3], run_high=vad_carry[4], run_low=vad_carry[5],
         run_audible=vad_carry[6], utt_start=vad_carry[7],
+        noise_psd=noise_psd,
     )
     out = ChunkOutput(mfcc, e, z, frame_valid, in_speech,
                       utt_end, utt_start_idx, utt_end_idx)
