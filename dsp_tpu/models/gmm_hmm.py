@@ -97,6 +97,15 @@ def _uniform_alignment(t_max: int, length: jax.Array, n_states: int) -> jax.Arra
     return jnp.clip(st, 0, n_states - 1)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _extract_and_score(xs, ns, params, mats, cfg):
+    """Module-level jitted extract+score so repeated sharded decode calls
+    reuse one compiled program (ADVICE round 2: an @jax.jit defined inside
+    the method retraced per call)."""
+    feats = pl.extract_features(xs, ns, mats, cfg)
+    return score_words(feats.feats, feats.length, params)
+
+
 def _lr_log_a(stay_prob: jax.Array, n_states: int) -> jax.Array:
     """Left-to-right transition matrix from per-state stay probabilities."""
     s = n_states
@@ -557,7 +566,8 @@ class GmmHmmRecognizer:
         x, n = self._pad_signals(signals)
         nd = self.mesh.shape[par.DATA_AXIS] * self.mesh.shape[par.BANK_AXIS]
         x, b_orig = par.pad_axis_to_multiple(np.asarray(x), nd)
-        n, _ = par.pad_axis_to_multiple(np.maximum(np.asarray(n), 1), nd)
+        n, _ = par.pad_axis_to_multiple(np.asarray(n), nd)
+        n = np.maximum(n, 1)          # clamp AFTER padding: pad rows get n=1
         flat = self.mesh.devices.reshape(-1)
         import jax.sharding as shd
         mesh1 = shd.Mesh(flat, ("decode",))
@@ -566,13 +576,8 @@ class GmmHmmRecognizer:
         params = jax.tree.map(
             lambda a: jax.device_put(a, shd.NamedSharding(mesh1, shd.PartitionSpec())),
             self.params)
-
-        @jax.jit
-        def run(xs, ns, params):
-            feats = pl.extract_features(xs, ns, self.mats, self.cfg)
-            return score_words(feats.feats, feats.length, params)
-
-        return np.asarray(run(xs, ns, params))[:b_orig]
+        return np.asarray(
+            _extract_and_score(xs, ns, params, self.mats, self.cfg))[:b_orig]
 
     def recognize(self, signal) -> str:
         return self.classify_batch([signal])[0]

@@ -21,6 +21,11 @@ from dsp_tpu import pipeline as pl
 from dsp_tpu.config import PipelineConfig
 from dsp_tpu.ops import frontend as fe
 
+# Returned when a vote row had no live candidates (pipeline.vote_topk's
+# -1 sentinel): the query was unreachable from every template, e.g. under
+# slope="itakura" with all length ratios > 2.
+NO_MATCH = "<no-match>"
+
 
 class KnnDtwRecognizer:
     """Template-bank recognizer: enroll utterances, classify by DTW.
@@ -166,10 +171,17 @@ class KnnDtwRecognizer:
                 x, n, self.mats, bank, ids, self.cfg)
         else:
             label_ids, dists = self._classify_knn(x, n, bank, ids)
-        labels = [self.labels[int(i)] for i in np.asarray(label_ids)]
+        labels = self._ids_to_labels(label_ids)
         if return_distances:
             return labels, np.asarray(dists)
         return labels
+
+    def _ids_to_labels(self, label_ids) -> list:
+        """Map vote ids to strings; the vote's -1 all-candidates-dead
+        sentinel (pipeline.vote_topk) becomes NO_MATCH instead of
+        wrapping around to the last enrolled label."""
+        return [self.labels[i] if i >= 0 else NO_MATCH
+                for i in map(int, np.asarray(label_ids))]
 
     def _classify_sharded(self, signals, return_distances: bool):
         from dsp_tpu import parallel as par
@@ -185,7 +197,7 @@ class KnnDtwRecognizer:
             self.mesh, xd, nd_, self.mats, bf, bl, ids, valid, cfg=self.cfg,
             k=self.k, n_labels=len(self.labels),
             return_full=return_distances)
-        labels = [self.labels[int(i)] for i in np.asarray(label_ids)[:b_orig]]
+        labels = self._ids_to_labels(np.asarray(label_ids)[:b_orig])
         if return_distances:
             # full [B, K] matrix gathered over the mesh (trim bank padding)
             return labels, np.asarray(dist)[:b_orig, :self.n_templates]

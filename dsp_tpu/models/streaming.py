@@ -96,7 +96,7 @@ class StreamingRecognizer:
         query = pl.Features(feats[None], length[None])
         bank, ids = self.rec.device_bank()
         label_ids, dists = pl.classify_features(query, bank, ids, cfg=self.cfg)
-        label = self.rec.labels[int(np.asarray(label_ids)[0])]
+        label = self.rec._ids_to_labels(label_ids)[0]
         return label, start, end
 
     def flush(self):

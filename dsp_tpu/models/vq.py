@@ -26,6 +26,7 @@ TPU mapping:
 
 from __future__ import annotations
 
+import functools
 import json
 
 import jax
@@ -91,6 +92,15 @@ def vq_distortion(feats: jax.Array, lengths: jax.Array, codebooks: jax.Array,
     tmask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(feats.dtype)
     num = jnp.einsum("bwt,bt->bw", dmin, tmask)
     return num / jnp.maximum(lengths, 1).astype(feats.dtype)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "squared"))
+def _extract_and_distort(xs, ns, cb, mats, cfg, squared):
+    """Module-level jitted extract+score so repeated sharded classify
+    calls reuse one compiled program (ADVICE round 2: an @jax.jit defined
+    inside the method retraced per call)."""
+    feats = pl.extract_features(xs, ns, mats, cfg)
+    return vq_distortion(feats.feats, feats.length, cb, squared)
 
 
 class VqRecognizer:
@@ -188,20 +198,15 @@ class VqRecognizer:
         x, n = pl.pad_signals(signals, self.cfg.max_samples)
         nd = int(np.prod(list(self.mesh.shape.values())))
         x, b_orig = par.pad_axis_to_multiple(np.asarray(x), nd)
-        n, _ = par.pad_axis_to_multiple(np.maximum(np.asarray(n), 1), nd)
+        n, _ = par.pad_axis_to_multiple(np.asarray(n), nd)
+        n = np.maximum(n, 1)          # clamp AFTER padding: pad rows get n=1
         mesh1 = shd.Mesh(self.mesh.devices.reshape(-1), ("decode",))
         data = shd.NamedSharding(mesh1, shd.PartitionSpec("decode"))
         rep = shd.NamedSharding(mesh1, shd.PartitionSpec())
         xs, ns = jax.device_put(x, data), jax.device_put(n, data)
         cb = jax.device_put(jnp.asarray(self.codebooks), rep)
-
-        @jax.jit
-        def run(xs, ns, cb):
-            feats = pl.extract_features(xs, ns, self.mats, self.cfg)
-            return vq_distortion(feats.feats, feats.length, cb,
-                                 self.vq.squared)
-
-        return np.asarray(run(xs, ns, cb))[:b_orig]
+        return np.asarray(_extract_and_distort(
+            xs, ns, cb, self.mats, self.cfg, self.vq.squared))[:b_orig]
 
     def recognize(self, signal) -> str:
         return self.classify_batch([signal])[0]

@@ -103,6 +103,13 @@ def dtw_batch_windowed(queries: jax.Array, q_lens: jax.Array,
                        cfg: DtwConfig = DtwConfig(band_frac=0.1),
                        precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """All-pairs windowed banded DTW -> [B, K]."""
+    if jax.default_backend() == "tpu":
+        from dsp_tpu.utils.logging import warn_once
+        warn_once("dtw-banded-windowed-tpu",
+                  "ops/dtw_banded.dtw_batch_windowed is ~10x SLOWER than "
+                  "the masked full-width scan on TPU (gather-bound, see "
+                  "module docstring); use DtwConfig(band_frac=...) with "
+                  "ops/dtw.py or the fused banded kernel instead")
 
     def one(q, ql, tmpl, tl):
         return dtw_distance_windowed(q, tmpl, ql, tl, window, cfg, precision)

@@ -123,6 +123,11 @@ def classify_features(feats: Features, bank: Features, bank_label_ids: jax.Array
                                        bank.feats, bank.length, cfg.dtw)
     elif impl == "pallas":
         from dsp_tpu.kernels.dtw_pallas import dtw_batch_pallas
+        from dsp_tpu.utils.logging import warn_once
+        warn_once("impl-pallas-wavefront",
+                  "DtwConfig.impl='pallas' selects the wavefront kernel, "
+                  "measured SLOWER than the scan and the fused banded "
+                  "kernel on TPU (docs/PERF.md); use impl='auto'")
         dists = dtw_batch_pallas(feats.feats, feats.length,
                                  bank.feats, bank.length, cfg.dtw, precision)
     elif impl == "fused":
@@ -161,6 +166,12 @@ def vote_topk(top_d: jax.Array, top_labels: jax.Array,
 
     Shared by the single-device path above and the mesh path (which
     gathers per-shard top-k candidates instead of full distance rows).
+
+    A row whose candidates are ALL dead (every top_d >= 1e20 — plausible
+    under slope="itakura" when the query/template length ratio exceeds 2
+    for every template) has no information to vote on; it returns the
+    sentinel id -1 instead of silently electing label 0 (ADVICE round 2).
+    Model-layer callers map negative ids to a reject label.
     """
     onehot = jax.nn.one_hot(top_labels, n_labels)             # [B, k, L]
     # huge candidates are masked cells and must not cast votes.  The
@@ -173,7 +184,9 @@ def vote_topk(top_d: jax.Array, top_labels: jax.Array,
     votes = onehot.sum(axis=1)                                # [B, L]
     dist_sum = (onehot * top_d[..., None]).sum(axis=1)        # [B, L]
     tied = votes == jnp.max(votes, axis=-1, keepdims=True)
-    return jnp.argmin(jnp.where(tied, dist_sum, jnp.inf), axis=-1)
+    ids = jnp.argmin(jnp.where(tied, dist_sum, jnp.inf), axis=-1)
+    any_live = jnp.any(live[..., 0] > 0, axis=1)              # [B]
+    return jnp.where(any_live, ids, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("target_len", "precision"))
@@ -322,6 +335,16 @@ def classify_features_bucketed(feats: Features, bank: Features,
     Returns host numpy (label_ids [B], distances [B, K]).
     """
     t_max = feats.feats.shape[1]
+    # Exactness precondition (ADVICE round 2): plan_window's band radius
+    # is band_frac*max(t, u), which is only invariant under query-axis
+    # slicing while the bank's U dominates every bucket length.  Holds
+    # for all in-repo callers (queries and bank both pad to
+    # cfg.max_frames) — enforced so a shorter bank cannot silently
+    # diverge from the unbucketed path.
+    if bank.feats.shape[1] < t_max:
+        raise ValueError(
+            f"bucketed classify requires bank U ({bank.feats.shape[1]}) >= "
+            f"query t_max ({t_max}); use classify_features instead")
     lens = np.asarray(feats.length)
     b = len(lens)
     buckets = sorted({t_max, max(t_max // 2, 1), max(t_max // 4, 1)})

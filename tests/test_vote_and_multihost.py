@@ -57,3 +57,24 @@ def test_vote_topk_drops_normalized_unreachable_candidates():
     top_labels = jnp.asarray([[0, 1, 1]], jnp.int32)
     got = vote_topk(top_d, top_labels, n_labels=2)
     assert int(got[0]) == 0
+
+
+def test_vote_topk_all_dead_row_returns_sentinel():
+    """A row whose candidates are ALL unreachable must surface -1, not
+    silently elect label 0 (ADVICE round 2); live rows are unaffected."""
+    from dsp_tpu.pipeline import vote_topk
+
+    top_d = jnp.asarray([[2.5e27, 2.5e27, 2.5e27],
+                         [0.5, 0.4, 2.5e27]], jnp.float32)
+    top_labels = jnp.asarray([[0, 1, 1], [0, 1, 1]], jnp.int32)
+    got = np.asarray(vote_topk(top_d, top_labels, n_labels=2))
+    assert got[0] == -1
+    assert got[1] == 1
+
+
+def test_recognizer_maps_sentinel_to_no_match():
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer, NO_MATCH
+
+    rec = KnnDtwRecognizer()
+    rec.labels = ["a", "b"]
+    assert rec._ids_to_labels(np.asarray([1, -1, 0])) == ["b", NO_MATCH, "a"]
