@@ -174,7 +174,15 @@ def cmd_evaluate(args):
         rec.shortlist = args.shortlist
     corpus = _load_corpus(args.corpus, args.sr)
     metrics = RunMetrics("evaluate")
-    result = rec.evaluate(corpus)
+    if getattr(args, "compile_timeout", 0) > 0 and rec.mesh is None:
+        # relay-stall hardening (ROADMAP #12): the child does the real
+        # work under a deadline (compiles land in the persistent cache,
+        # so a retry resumes warm) and ships the result dict back
+        from dsp_tpu.utils.relay import run_with_deadline
+        result = run_with_deadline(rec.evaluate, (corpus,),
+                                   timeout_s=args.compile_timeout)
+    else:
+        result = rec.evaluate(corpus)
     metrics.record(accuracy=result["accuracy"], n=result["n"],
                    bank_size=rec.n_templates, config=cfg)
     print(json.dumps(result["confusion"], indent=2, sort_keys=True))
@@ -425,6 +433,10 @@ def main(argv=None):
     p = sub.add_parser("evaluate", help="accuracy of a bank on a corpus")
     p.add_argument("--corpus", required=True)
     p.add_argument("--bank", required=True)
+    p.add_argument("--compile-timeout", type=float, default=0.0,
+                   help="> 0: run the evaluation in a child process with "
+                        "this deadline (s) + retries, hardening against "
+                        "relay compile stalls (utils/relay.py)")
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate)
 
