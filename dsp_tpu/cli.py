@@ -125,6 +125,26 @@ def _load_corpus(path: str, sr: int):
 def cmd_make_corpus(args):
     from dsp_tpu.io.dataset import DIGITS, make_corpus
     from dsp_tpu.io.wav import write_wav
+    if getattr(args, "hostile", False):
+        # adversarial corpus (io/hostile.py): confusable 35-class vocab,
+        # disjoint train/test speakers, optional degradation condition
+        from dsp_tpu.io.hostile import hostile_vocab, make_hostile_corpus
+        vocab = hostile_vocab()[: args.words] if args.words < 35 \
+            else hostile_vocab()
+        splits = (("train", (0, 1, 2), 0, "clean"),
+                  ("test", (4, 5), 9, args.condition))
+        for split, speakers, seed, cond in splits:
+            corpus = make_hostile_corpus(vocab, speakers=speakers,
+                                         n_per=args.n, seed=seed,
+                                         condition=cond)
+            for lab, sigs in corpus.items():
+                d = os.path.join(args.out, split, lab)
+                os.makedirs(d, exist_ok=True)
+                for i, x in enumerate(sigs):
+                    write_wav(os.path.join(d, f"{lab}_{i:03d}.wav"), 16000, x)
+        log.info("wrote hostile corpus (test condition=%s) to %s",
+                 args.condition, args.out)
+        return
     for split, seed in (("train", 0), ("test", 1000)):
         corpus = make_corpus(DIGITS[: args.words], n_per_word=args.n, seed=seed)
         for lab, sigs in corpus.items():
@@ -416,6 +436,12 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--n", type=int, default=5, help="utterances per word/split")
     p.add_argument("--words", type=int, default=10)
+    p.add_argument("--hostile", action="store_true",
+                   help="adversarial corpus: 35 confusable classes, "
+                        "held-out test speakers (io/hostile.py)")
+    p.add_argument("--condition", default="clean",
+                   help="test-split degradation (hostile only): clean | "
+                        "snr20|snr10|snr5|snr0 | tilt | reverb | 'a+b'")
     p.set_defaults(fn=cmd_make_corpus)
 
     p = sub.add_parser("enroll", help="build a template bank from a corpus")

@@ -65,3 +65,21 @@ def test_held_out_speaker_above_chance_below_perfect():
     test = make_hostile_corpus(vocab, speakers=(4,), n_per=1, seed=9)
     acc = rec.evaluate(test)["accuracy"]
     assert acc > 0.35, acc           # chance = 0.1
+
+
+def test_cli_make_corpus_hostile(tmp_path):
+    import subprocess
+    import sys
+
+    out = tmp_path / "hc"
+    r = subprocess.run(
+        [sys.executable, "-m", "dsp_tpu", "make-corpus", "--out", str(out),
+         "--hostile", "--words", "5", "--n", "1", "--condition", "snr10"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    import os
+    train_labels = sorted(os.listdir(out / "train"))
+    assert train_labels == ["w00", "w01", "w02", "w03", "w04"]
+    # train: 3 speakers x 1 rep; test: 2 held-out speakers x 1 rep
+    assert len(os.listdir(out / "train" / "w00")) == 3
+    assert len(os.listdir(out / "test" / "w00")) == 2
