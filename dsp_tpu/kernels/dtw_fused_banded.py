@@ -72,6 +72,20 @@ QUERY_TILE = 256
 # Measured phase budget on v5e: docs/PERF.md "Round-2 ablations".
 _ABLATE = None
 
+# Staged window extraction: replace the per-row-block scalar->vector
+# dependent iterations (nb dynamic rolls per query; measured ~140 cycles
+# of issue overhead each, docs/PERF.md round-2 ablations) with a
+# vectorized per-row offset computation + log2(u_pad/8) masked STATIC
+# roll stages over the whole [T_pad, U_pad] block — fewer, wider ops.
+# Offsets are bit-identical to the scalar chain (the sequential
+# off=min(raw, off_prev+s_max) clamp is a prefix-min in disguise:
+# off_b = min_{j<=b}(raw_j - j*s_max) + b*s_max).  Results are
+# bit-identical either way (parity: tests/test_fused_banded.py).
+# Default OFF until measured on hardware (scripts/mb_fused_banded.py
+# --staged): interpret-mode parity is green but Mosaic scheduling is
+# where every previous extraction idea lived or died (docs/PERF.md).
+_STAGED_EXTRACT = False
+
 
 def _exact_floordiv(a, b):
     """floor(a/b) for int32 a>=0, b>=1 — float-divide then integer-fix."""
@@ -107,7 +121,42 @@ def _kernel(la_s, lb_s, qf_ref, bf_ref, lav_ref, out_ref, cq, cs, *,
             cq[:] = jax.lax.dot_general(a, bf_ref[0], (((1,), (1,)), ((), ())),
                                         preferred_element_type=f32,
                                         precision=jax.lax.Precision.HIGHEST)
-        if windowed:
+        if windowed and _STAGED_EXTRACT and _ABLATE is None:
+            la = la_s[qi * qt + q]
+            lam1 = jnp.maximum(la - 1, 1)
+            radius = jnp.maximum(
+                f32(1.0), f32(band_frac) * jnp.maximum(la, lb).astype(f32))
+            r2 = jnp.floor(radius * lam1.astype(f32)).astype(i32)
+            # per-row window offsets, fully vectorized (constant within
+            # each row block since i0r is the block-start row)
+            row = jax.lax.broadcasted_iota(i32, (t_pad, 1), 0)
+            i0r = (row // rb) * rb
+            num = jnp.maximum(i0r * lbm1 - r2, 0)
+            jlo = _exact_floordiv(num + lam1 - 1, lam1)
+            raw = jnp.maximum((jlo // 8) * 8 - 8, 0)
+            clip8 = ((jnp.maximum(lb - w, 0) + 7) // 8) * 8
+            raw = jnp.minimum(raw, clip8)
+            # sequential clamp off_b = min(raw_b, off_{b-1} + s_max) in
+            # closed form: prefix-min of raw_b - b*s_max, then shift back
+            bidx = row // rb
+            g = raw - bidx * s_max
+            step = rb
+            while step < t_pad:
+                g = jnp.minimum(g, jnp.where(row >= step,
+                                             pltpu.roll(g, step, axis=0),
+                                             i32(2 ** 30)))
+                step *= 2
+            off_r = g + bidx * s_max
+            # decompose the right-roll amount into 8*2^k bit stages
+            shift = jnp.where(off_r == 0, 0, u_pad - off_r)
+            x = cq[:]
+            c = 8
+            while c < u_pad:
+                bit = (shift & c) != 0
+                x = jnp.where(bit, pltpu.roll(x, c, axis=1), x)
+                c *= 2
+            cs[q] = x[:, :w]
+        elif windowed:
             la = la_s[qi * qt + q]
             lam1 = jnp.maximum(la - 1, 1)
             radius = jnp.maximum(

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--ablate", default=None,
                     help="phase ablation: no_dp | no_roll | no_gemm | "
                          "static_off (WRONG results; timing only)")
+    ap.add_argument("--staged", action="store_true",
+                    help="staged window extraction (_STAGED_EXTRACT=True; "
+                         "bit-identical results, round-3 candidate)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -60,6 +63,7 @@ def main():
                 continue
             fb.QUERY_TILE = qt
             fb._ABLATE = args.ablate
+            fb._STAGED_EXTRACT = args.staged
 
             @jax.jit
             def step(q, ql, bank, bl, token, cfg=cfg):

@@ -143,3 +143,28 @@ def test_integer_band_rule_consistency():
         lam1, lbm1, r2 = gdtw.band_r2_int(ta, tb, bf)
         r2_jax = int(jdtw.band_r2(jnp.asarray(ta), jnp.asarray(tb), bf))
         assert r2 == r2_jax, (ta, tb, bf)
+
+
+def test_staged_extraction_bit_identical():
+    """_STAGED_EXTRACT replaces the per-block scalar offset chain with a
+    vectorized prefix-min + masked static roll stages; distances must be
+    BIT-identical to the legacy extraction (same windows selected)."""
+    from dsp_tpu.kernels import dtw_fused_banded as fb
+
+    b, k, t, u, f = 5, 7, 50, 46, 8
+    q = RNG.standard_normal((b, t, f)).astype(np.float32)
+    bk = RNG.standard_normal((k, u, f)).astype(np.float32)
+    ql = RNG.integers(12, t + 1, size=b).astype(np.int32)
+    bl = RNG.integers(12, u + 1, size=k).astype(np.int32)
+    for cfg in (DtwConfig(band_frac=0.15, squared=True),
+                DtwConfig(band_frac=0.15, squared=False),
+                DtwConfig(band_frac=0.2, slope="itakura")):
+        old = fb._STAGED_EXTRACT
+        try:
+            fb._STAGED_EXTRACT = False
+            want = _run(q, ql, bk, bl, cfg)
+            fb._STAGED_EXTRACT = True
+            got = _run(q, ql, bk, bl, cfg)
+        finally:
+            fb._STAGED_EXTRACT = old
+        np.testing.assert_array_equal(got, want)
