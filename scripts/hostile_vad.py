@@ -1,0 +1,71 @@
+"""VadConfig tuning against the hostile benchmark's low-SNR collapse.
+
+The hostile matrix (docs/RESULTS.md round 3) collapses at snr5/snr0 for
+every front-end/matcher config — pointing at the VAD (its noise stats
+come from the first n_init frames; at low SNR the e_high_mult=8
+threshold may never trigger or triggers on noise).  This sweep varies
+the detector against fixed low-SNR conditions + a clean control:
+
+    python scripts/hostile_vad.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from dsp_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import dataclasses
+
+    import jax
+
+    from dsp_tpu.config import PipelineConfig, VadConfig
+    from dsp_tpu.io.hostile import hostile_vocab, make_hostile_corpus
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    vocab = hostile_vocab()
+    variants = [
+        ("default (8/2)", VadConfig()),
+        ("sensitive (4/1.5)", VadConfig(e_high_mult=4.0, e_low_mult=1.5)),
+        ("sensitive+long (4/1.5,msf=8)",
+         VadConfig(e_high_mult=4.0, e_low_mult=1.5, min_speech_frames=8)),
+        ("conservative (12/3)", VadConfig(e_high_mult=12.0, e_low_mult=3.0)),
+    ]
+    conditions = ("clean", "snr10", "snr5", "snr0")
+
+    train = make_hostile_corpus(vocab, speakers=(0, 1, 2), n_per=2)
+    recs = []
+    for name, vcfg in variants:
+        cfg = dataclasses.replace(PipelineConfig(), vad=vcfg)
+        rec = KnnDtwRecognizer(cfg)
+        for lab, sigs in train.items():
+            rec.enroll(lab, sigs)
+        recs.append((name, rec))
+
+    t0 = time.perf_counter()
+    rows = {}
+    for cond in conditions:
+        test = make_hostile_corpus(vocab, speakers=(4, 5), n_per=2,
+                                   seed=9, condition=cond)
+        rows[cond] = {n: r.evaluate(test)["accuracy"] for n, r in recs}
+        print(f"# {cond}: " + "  ".join(f"{k}={v:.3f}"
+                                        for k, v in rows[cond].items()),
+              file=sys.stderr, flush=True)
+
+    print(f"device: {jax.devices()[0]}; {time.perf_counter()-t0:.0f}s")
+    names = [n for n, _ in variants]
+    print("| condition | " + " | ".join(names) + " |")
+    print("|---" * (len(names) + 1) + "|")
+    for cond in conditions:
+        best = max(rows[cond].values())
+        cells = [f"**{rows[cond][n]:.3f}**" if rows[cond][n] == best
+                 else f"{rows[cond][n]:.3f}" for n in names]
+        print(f"| {cond} | " + " | ".join(cells) + " |")
+
+
+if __name__ == "__main__":
+    main()
