@@ -89,8 +89,14 @@ class VadConfig:
     """
 
     n_init: int = 10
-    e_high_mult: float = 8.0
-    e_low_mult: float = 2.0
+    # 4.0/1.5 (was 8.0/2.0 through round 2): the hostile-benchmark VAD
+    # sweep (scripts/hostile_vad.py, docs/RESULTS.md round 3) measured
+    # the sensitive thresholds at 0.764 vs 0.343 accuracy at 5 dB SNR
+    # with NO loss on clean/10 dB or the standard corpus (1.000 both
+    # draws); the only regression is 0 dB (0.164 vs 0.257), where both
+    # settings are below usable anyway.
+    e_high_mult: float = 4.0
+    e_low_mult: float = 1.5
     e_abs_floor: float = 1e-6      # absolute energy floor added to noise mean
     zcr_mult: float = 2.0          # zcr_thresh = noise_zcr_mean * zcr_mult
     min_speech_frames: int = 5
