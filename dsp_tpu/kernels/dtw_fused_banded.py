@@ -81,9 +81,14 @@ _ABLATE = None
 # off=min(raw, off_prev+s_max) clamp is a prefix-min in disguise:
 # off_b = min_{j<=b}(raw_j - j*s_max) + b*s_max).  Results are
 # bit-identical either way (parity: tests/test_fused_banded.py).
-# Default OFF until measured on hardware (scripts/mb_fused_banded.py
-# --staged): interpret-mode parity is green but Mosaic scheduling is
-# where every previous extraction idea lived or died (docs/PERF.md).
+# MEASURED NEGATIVE on v5e (round 3, docs/PERF.md): at QT=64/B=256 the
+# staged path is 1.24x SLOWER than the scalar chain (77.6 vs 62.5 ms —
+# the log2 masked roll stages move the full [T_pad, U_pad] block per
+# stage, costing more VPU bandwidth than the narrow scalar iterations
+# cost in issue overhead), and at the shipped QT=256 its Mosaic compile
+# exceeds 40 min (disqualifying for cold start regardless of runtime).
+# Kept OFF, retained for the parity test + the record; this closes the
+# last "batch the per-block scalar work" extraction idea (ROADMAP #3).
 _STAGED_EXTRACT = False
 
 
