@@ -261,6 +261,54 @@ def cmd_evaluate_vq(args):
         m.dump(args.metrics_out)
 
 
+def cmd_warm(args):
+    """Pre-compile the serving programs into the persistent XLA cache.
+
+    Cold-compiling the full pipeline through a TPU relay takes minutes
+    (docs/PERF.md); a deployment pays that once, out of band:
+
+        python -m dsp_tpu warm --bank bank.npz --batches 1,256
+
+    This drives the REAL ``classify_batch`` path on synthetic utterances
+    — so exactly the programs serving will execute get compiled, with no
+    shape/dispatch drift — inside the relay-hardened child-process
+    wrapper (``utils/relay.run_with_deadline``: deadline + PID-targeted
+    kill + retry).  Everything a child compiles lands in the persistent
+    cache (``utils/cache.py``) shared with every later process, so even
+    a run killed by a relay stall resumes warm on retry.  Without
+    ``--bank`` a dummy bank of ``--bank-size`` synthetic templates is
+    enrolled: compilation only depends on shapes and config, not data.
+    """
+    import time as _time
+
+    from dsp_tpu.io.dataset import DIGITS, synth_word
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    from dsp_tpu.utils.relay import run_with_deadline
+
+    cfg = _pipeline_cfg(args)
+    if args.bank:
+        rec = KnnDtwRecognizer.load(args.bank, cfg)
+    else:
+        rec = KnnDtwRecognizer(cfg, k=args.k, matcher=args.matcher,
+                               shortlist=args.shortlist)
+        per = max(1, -(-args.bank_size // len(DIGITS)))
+        for lab in DIGITS:
+            rec.enroll(lab, [synth_word(lab, i, max_samples=cfg.max_samples)
+                             for i in range(per)])
+    batches = sorted({int(b) for b in args.batches.split(",") if b.strip()})
+    t0 = _time.perf_counter()
+    for b in batches:
+        sigs = [synth_word(DIGITS[i % len(DIGITS)], 7000 + i,
+                           max_samples=cfg.max_samples) for i in range(b)]
+        t1 = _time.perf_counter()
+        run_with_deadline(rec.classify_batch, (sigs,),
+                          timeout_s=args.timeout, retries=args.retries)
+        print(f"warm: batch={b} bank={rec.n_templates} matcher={rec.matcher} "
+              f"k={rec.k} ({_time.perf_counter() - t1:.1f}s)", flush=True)
+    print(f"warm: done in {_time.perf_counter() - t0:.1f}s — runs at these "
+          f"shapes now hit the persistent compilation cache")
+
+
 def cmd_evaluate_sc2(args):
     """Speech Commands v2 35-class kNN-DTW over a sharded bank (config 4)."""
     import jax
@@ -505,6 +553,24 @@ def main(argv=None):
 
     p = sub.add_parser("bench", help="run the headline throughput benchmark")
     p.set_defaults(fn=lambda a: __import__("bench").main())
+
+    p = sub.add_parser(
+        "warm", help="pre-compile serving programs into the persistent "
+                     "XLA cache (relay-hardened; run once per deployment)")
+    p.add_argument("--bank", default=None,
+                   help="existing bank .npz (its size/matcher/k define the "
+                        "programs); omit to use a synthetic bank")
+    p.add_argument("--bank-size", type=int, default=100,
+                   help="synthetic bank templates when no --bank")
+    p.add_argument("--batches", default="1,256",
+                   help="comma-separated query batch sizes to compile "
+                        "(classify_batch chunks at 256)")
+    p.add_argument("--timeout", type=float, default=2400.0,
+                   help="per-batch compile deadline (s) before the child "
+                        "is killed and retried")
+    p.add_argument("--retries", type=int, default=1)
+    _add_common(p)
+    p.set_defaults(fn=cmd_warm)
 
     p = sub.add_parser("evaluate-sc2",
                        help="Speech Commands v2 kNN-DTW eval (local dataset)")

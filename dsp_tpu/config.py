@@ -124,6 +124,14 @@ class DtwConfig:
     ``impl="auto"`` routes banded matching through the fused Pallas
     window kernel on TPU (measured 2x the XLA scan on v5e) and falls
     back to the scan elsewhere.
+
+    Long utterances: the kernel's advantage GROWS with T — O(T*W) vs
+    the scan's O(T*U): 1.55x at T=512, 2.9x at T=1024 (docs/PERF.md
+    "Long-utterance scaling").  The fully fused unbanded kernel
+    (``impl="fused"``) VMEM-OOMs at T>=512; for unbanded semantics on
+    long sequences use ``impl="scan"``.  First compiles of fresh
+    long-T kernel shapes are expensive through a relay — pre-compile
+    with ``python -m dsp_tpu warm`` / utils/relay.py.
     """
 
     band_frac: Optional[float] = 0.17  # Sakoe-Chiba band as fraction of max(T,U); None = full

@@ -47,7 +47,14 @@ def main():
     ap.add_argument("--f", type=int, default=39)
     ap.add_argument("--band", type=float, default=0.17)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--impls", default="scan,kernel,unbanded",
+                    help="comma-subset of scan,kernel,unbanded — long-T "
+                         "compiles are expensive (the kernel unrolls "
+                         "T/rb row blocks per query; at T=1024 its Mosaic "
+                         "compile ran past 100 min), so time impls "
+                         "separately when probing a new shape")
     args = ap.parse_args()
+    impls = {s.strip() for s in args.impls.split(",") if s.strip()}
 
     shapes = [args.t] if args.t else [198, 512, 1024]
     print(f"device: {jax.devices()[0]}; band={args.band}, F={args.f}")
@@ -79,12 +86,21 @@ def main():
                 return chained_timeit(step, (q, ql, bank, bl),
                                       n_iters=args.iters) * 1e3
             except Exception as e:          # OOM at long T is data too
-                return float("nan") if "RESOURCE" in repr(e).upper() else (
-                    (_ for _ in ()).throw(e))
+                # TPU OOM surfaces as RESOURCE_EXHAUSTED (HBM) or an
+                # Internal "Ran out of memory in memory space vmem"
+                # compile error (scoped-VMEM kernels); both mean "this
+                # impl cannot run this shape" — report as nan, measure on
+                msg = repr(e).upper()
+                if "RESOURCE" in msg or "OUT OF MEMORY" in msg or \
+                        "VMEM" in msg:
+                    return float("nan")
+                raise
 
-        ms_scan = timed(dtw_batch, cfgb)
-        ms_kern = timed(dtw_batch_fused_banded, cfgb)
-        ms_unb = timed(dtw_batch_fused, cfgu)
+        nan = float("nan")
+        ms_scan = timed(dtw_batch, cfgb) if "scan" in impls else nan
+        ms_kern = (timed(dtw_batch_fused_banded, cfgb)
+                   if "kernel" in impls else nan)
+        ms_unb = timed(dtw_batch_fused, cfgu) if "unbanded" in impls else nan
         ratio = ms_kern / ms_scan if ms_scan == ms_scan else float("nan")
         print(f"| {t} | {pairs} | W={w} rb={rb}"
               f"{' covered' if covered else ''} | {ms_scan:.1f} ms |"

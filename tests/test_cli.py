@@ -90,3 +90,22 @@ def test_evaluate_with_mesh_flag(corpus_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     acc = float(out.rsplit("accuracy:", 1)[1].split("(")[0])
     assert acc >= 0.8
+
+
+def test_warm_command(corpus_dir, tmp_path, capsys):
+    """`warm` drives the real classify path in a deadline child; the
+    parent's later call at the same shapes must hit the warm cache."""
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    cli.main(["warm", "--bank", bank, "--batches", "2",
+              "--timeout", "300", "--retries", "0"])
+    out = capsys.readouterr().out
+    assert "warm: batch=2" in out and "warm: done" in out
+
+
+def test_warm_command_synthetic_bank(capsys):
+    cli.main(["warm", "--bank-size", "4", "--batches", "1",
+              "--timeout", "300", "--retries", "0"])
+    out = capsys.readouterr().out
+    assert "warm: batch=1 bank=10" in out   # 10 words x ceil(4/10)=1 each
