@@ -44,8 +44,8 @@ def main():
         acc, rate = timed_eval(rec)
         rows.append((label, acc, rate, rec.n_templates))
 
-    knn("kNN-DTW (scan)", cfg=PipelineConfig())
-    knn("kNN-DTW (scan, k=3)", cfg=PipelineConfig(), k=3)
+    knn("kNN-DTW (default: banded 0.17, fused kernel)", cfg=PipelineConfig())
+    knn("kNN-DTW (k=3)", cfg=PipelineConfig(), k=3)
     knn("kNN-DTW (banded 0.2)",
         cfg=PipelineConfig(dtw=DtwConfig(band_frac=0.2)))
     knn("kNN-DTW (fused kernel, unbanded)",
