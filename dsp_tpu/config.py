@@ -93,8 +93,9 @@ class VadConfig:
     # sweep (scripts/hostile_vad.py, docs/RESULTS.md round 3) measured
     # the sensitive thresholds at 0.764 vs 0.343 accuracy at 5 dB SNR
     # with NO loss on clean/10 dB or the standard corpus (1.000 both
-    # draws); the only regression is 0 dB (0.164 vs 0.257), where both
-    # settings are below usable anyway.
+    # draws); on the standard corpus 0 dB recovers 0.36 -> 0.88
+    # (scripts/robustness.py).  The one regression is hostile 0 dB
+    # (0.164 vs 0.257), where both settings are below usable anyway.
     e_high_mult: float = 4.0
     e_low_mult: float = 1.5
     e_abs_floor: float = 1e-6      # absolute energy floor added to noise mean
