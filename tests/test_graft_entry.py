@@ -37,7 +37,15 @@ def test_dryrun_multichip_with_single_visible_device():
     re-execs its body in a CPU subprocess) rather than crash with
     'mesh 2x4 needs more than 1 devices' as in round 1.
     """
-    code = "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK8')"
+    # Force the platform IN-PROCESS: sitecustomize re-pins the TPU
+    # plugin in every fresh interpreter, so the env var alone would make
+    # this subprocess dial the relay (and hang through an outage) before
+    # ever reaching the code under test.  The driver's real process runs
+    # the same dryrun_multichip, whose _visible_devices probe is
+    # deadline-guarded for that case.
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import __graft_entry__ as g; g.dryrun_multichip(8); "
+            "print('OK8')")
     res = subprocess.run([sys.executable, "-c", code], env=_driver_env(1),
                          cwd=REPO, capture_output=True, text=True, timeout=900)
     assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr}"

@@ -6,7 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from dsp_tpu.utils.relay import CompileTimeout, warm_compile
+from dsp_tpu.utils.relay import (CompileTimeout, run_with_deadline,
+                                 warm_compile)
 
 
 def _double(x):
@@ -20,6 +21,16 @@ def _stall(x):
 
 def _boom(x):
     raise ValueError("trace error")
+
+
+def _backend_name():
+    import jax
+
+    return jax.default_backend()
+
+
+def _echo_shape(x):
+    return tuple(np.asarray(x).shape)
 
 
 def test_warm_compile_success():
@@ -38,6 +49,27 @@ def test_warm_compile_timeout_kills_and_raises():
 def test_warm_compile_child_error_returns_false():
     assert warm_compile(_boom, (jnp.zeros((4,)),), timeout_s=120.0,
                         retries=0) is False
+
+
+def test_child_inherits_parent_platform():
+    """The child must run on the PARENT's jax platform (cpu under the
+    test mesh), not whatever the fresh interpreter's sitecustomize pins.
+    Regression: during a relay outage a CPU-mesh test's spawn child
+    initialized the relay TPU plugin and hung on the dead tunnel."""
+    import jax
+
+    assert run_with_deadline(_backend_name, (),
+                             timeout_s=120.0, retries=0) \
+        == jax.default_backend()
+
+
+def test_large_payload_does_not_block_parent():
+    """Megabyte-scale work orders travel via temp file, never through the
+    spawn pipe — a child dying at startup must not deadlock the parent
+    in p.start() (the stall would sit BEFORE the deadline poll)."""
+    x = np.zeros(2_000_000, np.float32)          # ~8 MB >> pipe buffer
+    assert run_with_deadline(_echo_shape, (x,),
+                             timeout_s=120.0, retries=0) == (2_000_000,)
 
 
 def test_warm_compile_module_spec_warms_jitted_entry():
