@@ -177,6 +177,11 @@ def cmd_recognize(args):
     if args.k != rec.k:                 # --k overrides the enrolled value
         rec.k = args.k
     sigs = [read_wav(p, cfg.frontend.sample_rate)[1] for p in args.wavs]
+    if getattr(args, "connected", False):
+        seqs = rec.classify_connected(sigs, max_segments=args.max_segments)
+        for path, seq in zip(args.wavs, seqs):
+            print(f"{path}\t{' '.join(seq)}")
+        return
     labels = rec.classify_batch(sigs)
     for path, lab in zip(args.wavs, labels):
         print(f"{path}\t{lab}")
@@ -500,6 +505,13 @@ def main(argv=None):
 
     p = sub.add_parser("recognize", help="classify WAV files")
     p.add_argument("--bank", required=True)
+    p.add_argument("--connected", action="store_true",
+                   help="treat each WAV as a recording of SEVERAL words: "
+                        "the multi-segment VAD splits it and every "
+                        "segment is classified (prints space-joined "
+                        "labels per file)")
+    p.add_argument("--max-segments", type=int, default=8,
+                   help="segment capacity per recording (--connected)")
     p.add_argument("wavs", nargs="+")
     _add_common(p)
     p.set_defaults(fn=cmd_recognize)

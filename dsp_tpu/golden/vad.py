@@ -95,3 +95,116 @@ def detect_endpoints(
         end += 1
     end_excl = min(n, end + 1 + vcfg.hangover_frames)
     return int(start), int(end_excl), True
+
+
+def detect_segments(
+    x: np.ndarray,
+    fcfg: FrontendConfig = FrontendConfig(),
+    vcfg: VadConfig = VadConfig(),
+):
+    """Split a recording into speech segments (connected-word detector).
+
+    The reference's endpoint detector both trims silence and *splits
+    utterances* (SURVEY.md §1a L1: ``detect_endpoints(x) -> (start, end)
+    or list of segments``).  This is the splitting variant; like the
+    isolated detector above it is *specified here* — no reference
+    checkout exists (SURVEY.md §0) — and the JAX implementation in
+    dsp_tpu/ops/vad.py must match it frame-for-frame.
+
+    Spec (offline, multi-utterance; thresholds as in detect_endpoints):
+
+    1. *Core* frames are frames belonging to any run of
+       ``min_speech_frames`` consecutive frames with E > TH.
+    2. Each maximal run of ``audible | core`` frames containing at least
+       one core frame is a *region* (identical to extending every core
+       run backwards/forwards through audible frames).
+    3. A silence gap strictly between two regions merges them iff it is
+       shorter than ``max_silence_frames`` (the same constant that ends
+       an utterance in the streaming detector, ops/streaming.py).
+    4. Every region's end then gains ``hangover_frames``; regions that
+       touch or overlap after hangover merge.
+    5. Regions shorter than ``min_utterance_frames`` are dropped.
+
+    Returns a list of (start_frame, end_frame_exclusive) tuples in time
+    order (empty if no core run exists).
+    """
+    frames = frame_signal(x, fcfg.frame_len, fcfg.hop_len)
+    n = frames.shape[0]
+    if n == 0:
+        return []
+    e = short_time_energy(frames)
+    z = zero_crossing_rate(frames)
+
+    n_init = min(vcfg.n_init, n)
+    e_noise = float(np.mean(e[:n_init])) + vcfg.e_abs_floor
+    z_noise = float(np.mean(z[:n_init]))
+    th = e_noise * vcfg.e_high_mult
+    tl = e_noise * vcfg.e_low_mult
+    zt = z_noise * vcfg.zcr_mult + ZCR_ABS_FLOOR
+
+    high = e > th
+    audible = (e > tl) | (z > zt)
+
+    # 1. core mask: frames inside any qualifying run of high frames
+    core = np.zeros(n, dtype=bool)
+    run = 0
+    for t in range(n):
+        run = run + 1 if high[t] else 0
+        if run >= vcfg.min_speech_frames:
+            core[t - vcfg.min_speech_frames + 1 : t + 1] = True
+    if not core.any():
+        return []
+
+    # 2. regions = maximal (audible|core)-runs containing a core frame
+    conn = audible | core
+    region = np.zeros(n, dtype=bool)
+    t = 0
+    while t < n:
+        if conn[t]:
+            u = t
+            while u + 1 < n and conn[u + 1]:
+                u += 1
+            if core[t : u + 1].any():
+                region[t : u + 1] = True
+            t = u + 1
+        else:
+            t += 1
+
+    # 3. bridge short interior gaps
+    merged = region.copy()
+    t = 0
+    while t < n:
+        if not region[t]:
+            u = t
+            while u + 1 < n and not region[u + 1]:
+                u += 1
+            interior = t > 0 and u < n - 1
+            if interior and (u - t + 1) < vcfg.max_silence_frames:
+                merged[t : u + 1] = True
+            t = u + 1
+        else:
+            t += 1
+
+    # 4. hangover (mask formulation merges touching regions naturally)
+    final = merged.copy()
+    last = -10**9
+    for t in range(n):
+        if merged[t]:
+            last = t
+        elif t - last <= vcfg.hangover_frames:
+            final[t] = True
+
+    # 5. extract + drop short regions
+    out = []
+    t = 0
+    while t < n:
+        if final[t]:
+            u = t
+            while u + 1 < n and final[u + 1]:
+                u += 1
+            if (u - t + 1) >= vcfg.min_utterance_frames:
+                out.append((int(t), int(u + 1)))
+            t = u + 1
+        else:
+            t += 1
+    return out

@@ -75,6 +75,33 @@ def synth_word(label: str, seed: int, sr: int = 16000,
     return x.astype(np.float32)
 
 
+def synth_connected(labels, seed: int, sr: int = 16000,
+                    gap_ms=(250.0, 600.0), lead_ms=(150.0, 400.0),
+                    noise: float = 0.005) -> np.ndarray:
+    """Synthesize one CONNECTED recording of several words -> float32 [N].
+
+    Words from :func:`synth_word` separated by silence gaps drawn from
+    ``gap_ms`` (defaults comfortably above the splitter's
+    ``VadConfig.max_silence_frames`` 150 ms merge threshold, so each word
+    is a separate segment).  Deterministic in (labels, seed).  Used by
+    the connected-word tests and demo (models/knn_dtw.py:
+    classify_connected).
+    """
+    rng = np.random.default_rng(
+        _fnv(("|".join(labels) + f"|{int(seed)}").encode()) % (2**32))
+    pieces = [np.zeros(int(rng.uniform(*lead_ms) / 1000.0 * sr))]
+    for i, lab in enumerate(labels):
+        w = synth_word(lab, seed * 101 + i, sr,
+                       max_samples=int(2.0 * sr), noise=0.0)
+        nz = np.nonzero(np.abs(w) > 0)[0]
+        w = w[nz[0]: nz[-1] + 1] if len(nz) else w   # strip synth padding
+        pieces.append(w)
+        pieces.append(np.zeros(int(rng.uniform(*gap_ms) / 1000.0 * sr)))
+    x = np.concatenate(pieces)
+    x = x + noise * rng.standard_normal(len(x))
+    return x.astype(np.float32)
+
+
 def make_corpus(labels=None, n_per_word: int = 3, seed: int = 0,
                 sr: int = 16000, max_samples: int = 32000):
     """Build {label: [utterance, ...]} with deterministic content."""

@@ -556,6 +556,24 @@ class GmmHmmRecognizer:
             return labels, scores
         return labels
 
+    def classify_connected(self, signals, max_segments: int = 8):
+        """Recordings of SEVERAL words -> one label list per recording.
+
+        Connected-word decoding for the HMM family: the shared
+        multi-segment VAD split (pipeline.segments_flat) feeds every
+        segment through the same batched Viterbi scorer as
+        ``classify_batch``.
+        """
+        if self.params is None:
+            raise ValueError("model not fitted")
+        flat, n_segs, _, _ = pl.segments_flat(
+            signals, self.mats, self.cfg, max_segments)
+        scores = np.asarray(
+            score_words(flat.feats, flat.length, self.params))
+        ids = scores.argmax(axis=-1).reshape(len(signals), max_segments)
+        return [[self.labels[int(i)] for i in ids[b, : int(n_segs[b])]]
+                for b in range(len(signals))]
+
     def _score_sharded(self, signals) -> np.ndarray:
         """Data-parallel Viterbi decode: the utterance batch shards over
         the mesh data axis, word params replicate; XLA propagates the

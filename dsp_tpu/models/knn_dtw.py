@@ -212,6 +212,38 @@ class KnnDtwRecognizer:
         """Single utterance -> label (the reference's main entry point)."""
         return self.classify_batch([signal])[0]
 
+    def classify_connected(self, signals, max_segments: int = 8,
+                           return_segments: bool = False):
+        """Recordings with SEVERAL words each -> one label list per recording.
+
+        The connected-word path (SURVEY.md §1a L1: the reference's
+        endpoint detector also "splits utterances"): the multi-segment
+        VAD (ops/vad.py:detect_segments) splits each recording into up
+        to ``max_segments`` utterances, and every segment is classified
+        against the bank in one flat batch with the same matcher kernels
+        and kNN vote as ``classify_batch``.  Recordings may be longer
+        than ``cfg.max_samples`` — they are padded to a whole multiple
+        of it so compile shapes stay quantised.
+
+        With ``return_segments`` also returns (starts, ends, n_segs)
+        frame indices from the splitter.
+        """
+        bank, ids = self.device_bank()
+        quantum = self.cfg.max_samples
+        n_max = max(1, max(len(np.asarray(s)) for s in signals))
+        pad_len = quantum * -(-n_max // quantum)
+        x, n = pl.pad_signals(signals, pad_len)
+        label_ids, n_segs, starts, ends = pl.recognize_connected_batch(
+            x, n, self.mats, bank, ids, n_labels=len(self.labels),
+            k=self.k, cfg=self.cfg, max_segments=max_segments)
+        label_ids = np.asarray(label_ids)
+        n_segs = np.asarray(n_segs)
+        out = [self._ids_to_labels(label_ids[b, : int(n_segs[b])])
+               for b in range(len(signals))]
+        if return_segments:
+            return out, np.asarray(starts), np.asarray(ends), n_segs
+        return out
+
     def evaluate(self, corpus: dict) -> dict:
         """{label: [signals]} -> accuracy + per-label confusion counts."""
         return pl.evaluate_corpus(self.classify_batch, corpus)

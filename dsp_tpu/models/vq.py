@@ -208,6 +208,25 @@ class VqRecognizer:
         return np.asarray(_extract_and_distort(
             xs, ns, cb, self.mats, self.cfg, self.vq.squared))[:b_orig]
 
+    def classify_connected(self, signals, max_segments: int = 8):
+        """Recordings of SEVERAL words -> one label list per recording.
+
+        Connected-word decoding for the VQ family: the shared
+        multi-segment VAD split (pipeline.segments_flat) feeds every
+        segment through the same distortion matcher as
+        ``classify_batch``.
+        """
+        if self.codebooks is None:
+            self.fit()
+        flat, n_segs, _, _ = pl.segments_flat(
+            signals, self.mats, self.cfg, max_segments)
+        d = np.asarray(vq_distortion(flat.feats, flat.length,
+                                     jnp.asarray(self.codebooks),
+                                     self.vq.squared))
+        ids = d.argmin(axis=-1).reshape(len(signals), max_segments)
+        return [[self.labels[int(i)] for i in ids[b, : int(n_segs[b])]]
+                for b in range(len(signals))]
+
     def recognize(self, signal) -> str:
         return self.classify_batch([signal])[0]
 

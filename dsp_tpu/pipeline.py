@@ -66,8 +66,24 @@ def _extract_one(x: jax.Array, n_samples: jax.Array, mats: fe.FrontendMatrices,
     else:
         start, end = jnp.asarray(0), n_frames
 
-    length = jnp.maximum(end - start, 1)
-    idx = jnp.clip(start + jnp.arange(t_max), 0, t_max - 1)
+    return _finalize_window(c, start, end, cfg)
+
+
+def _finalize_window(c: jax.Array, start: jax.Array, end: jax.Array,
+                     cfg: PipelineConfig) -> Features:
+    """Cepstra [T_rec, C] + frame window [start, end) -> masked Features.
+
+    Gathers ``cfg.max_frames`` frames starting at ``start`` (clamping the
+    window length to ``max_frames``), then applies CMN and delta stacking
+    exactly as the isolated path always has.  Shared by the isolated
+    extractor above and the per-segment connected extractor, so segment
+    features are bit-identical to what the isolated pipeline would
+    produce for the same frame window.
+    """
+    f = cfg.frontend
+    t_max = cfg.max_frames
+    length = jnp.minimum(jnp.maximum(end - start, 1), t_max)
+    idx = jnp.clip(start + jnp.arange(t_max), 0, c.shape[0] - 1)
     c = jnp.take(c, idx, axis=0)                              # frames from VAD start
     if f.cmn:
         valid = (jnp.arange(t_max) < length)[:, None].astype(c.dtype)
@@ -272,6 +288,99 @@ def recognize_batch(signals: jax.Array, n_samples: jax.Array,
     feats = extract_features(signals, n_samples, mats, cfg, precision)
     return classify_features(feats, bank, bank_label_ids, cfg=cfg,
                              precision=precision)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "precision", "max_segments"))
+def extract_segments_features(signals: jax.Array, n_samples: jax.Array,
+                              mats: fe.FrontendMatrices,
+                              cfg: PipelineConfig = PipelineConfig(),
+                              max_segments: int = 8,
+                              precision=jax.lax.Precision.HIGHEST):
+    """Padded recordings [B, N] -> per-segment features (connected words).
+
+    The connected-word front half (SURVEY.md §1a L1: the reference
+    detector "splits utterances"): cepstra are computed ONCE over each
+    whole recording, the multi-segment VAD (ops/vad.py:detect_segments)
+    finds up to ``max_segments`` utterances, and each segment's frame
+    window is gathered through :func:`_finalize_window` — so per-segment
+    features are bit-identical to the isolated pipeline's for the same
+    window.  ``N`` may exceed ``cfg.max_samples`` (long recordings);
+    segments longer than ``cfg.max_frames`` are truncated.
+
+    Returns ``(Features [B, S, T, F], starts [B, S], ends [B, S],
+    n_segs [B])``; rows past ``n_segs`` hold length-1 dummy features —
+    mask with ``n_segs`` downstream.
+    """
+    f = cfg.frontend
+
+    def one(x, n):
+        if f.feature_type == "lpcc":
+            from dsp_tpu.ops.lpc import lpcc
+            c = lpcc(x, f)
+        else:
+            c = fe.mfcc(x, f, mats, use_fft=False, precision=precision)
+        starts, ends, n_segs = jvad.detect_segments(
+            x, f, cfg.vad, n, max_segments)
+        segs = jax.vmap(lambda s, e: _finalize_window(c, s, e, cfg))(
+            starts, ends)
+        return segs, starts, ends, n_segs
+
+    return jax.vmap(one)(signals, n_samples)
+
+
+def recognize_connected_batch(signals: jax.Array, n_samples: jax.Array,
+                              mats: fe.FrontendMatrices,
+                              bank: Features, bank_label_ids: jax.Array,
+                              n_labels: int | None = None, k: int = 1,
+                              cfg: PipelineConfig = PipelineConfig(),
+                              max_segments: int = 8,
+                              precision=jax.lax.Precision.HIGHEST):
+    """Padded recordings [B, N] -> per-segment labels (connected words).
+
+    Splits each recording into utterances, classifies every segment
+    against the template bank in one flat [B*S] batch (same matcher,
+    kernels and kNN vote as the isolated path), and masks absent
+    segments to label id -1.
+
+    Returns ``(label_ids [B, S], n_segs [B], starts [B, S], ends [B, S])``.
+    """
+    segs, starts, ends, n_segs = extract_segments_features(
+        signals, n_samples, mats, cfg, max_segments, precision)
+    b, s = segs.length.shape
+    flat = Features(segs.feats.reshape(b * s, *segs.feats.shape[2:]),
+                    segs.length.reshape(b * s))
+    label_ids, _ = classify_features(flat, bank, bank_label_ids,
+                                     n_labels, k, cfg, precision)
+    label_ids = label_ids.reshape(b, s)
+    live = jnp.arange(s)[None, :] < n_segs[:, None]
+    return jnp.where(live, label_ids, -1), n_segs, starts, ends
+
+
+def segments_flat(signals, mats: fe.FrontendMatrices,
+                  cfg: PipelineConfig = PipelineConfig(),
+                  max_segments: int = 8,
+                  precision=jax.lax.Precision.HIGHEST):
+    """Host list of connected recordings -> flat per-segment Features.
+
+    The family-independent half of connected-word decoding: pads the
+    recordings to a whole multiple of ``cfg.max_samples`` (quantised
+    compile shapes), splits each into utterances and returns
+    ``(Features [B*S, T, F], n_segs [B], starts [B, S], ends [B, S])``
+    ready for any family's feature scorer (kNN-DTW distances, HMM
+    Viterbi log-liks, VQ distortions).  Rows past ``n_segs`` are
+    length-1 dummies — mask scores with ``n_segs``.
+    """
+    quantum = cfg.max_samples
+    n_max = max(1, max(len(np.asarray(s)) for s in signals))
+    pad_len = quantum * -(-n_max // quantum)
+    x, n = pad_signals(signals, pad_len)
+    segs, starts, ends, n_segs = extract_segments_features(
+        x, n, mats, cfg, max_segments, precision)
+    b, s = segs.length.shape
+    flat = Features(segs.feats.reshape(b * s, *segs.feats.shape[2:]),
+                    segs.length.reshape(b * s))
+    return flat, np.asarray(n_segs), np.asarray(starts), np.asarray(ends)
 
 
 def extract_signals(signals, mats: fe.FrontendMatrices,

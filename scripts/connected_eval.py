@@ -1,0 +1,87 @@
+"""Connected-word recognition accuracy matrix (docs/RESULTS.md).
+
+Builds the standard synthetic corpus, then evaluates every model family
+on connected recordings of 1-5 words (dsp_tpu/io/dataset.py:
+synth_connected, seeds disjoint from enrollment), reporting word error
+rate (Levenshtein over label sequences), exact-sequence accuracy, and
+segment-count accuracy.  Accuracy is backend-independent; run anywhere:
+
+    python scripts/connected_eval.py [--clips 60] [--noise 0.005]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def edit_distance(a, b):
+    d = np.arange(len(b) + 1)
+    for i, x in enumerate(a, 1):
+        prev, d[0] = d[0], i
+        for j, y in enumerate(b, 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                   prev + (x != y))
+    return int(d[len(b)])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=60)
+    ap.add_argument("--noise", type=float, default=0.005)
+    ap.add_argument("--seed", type=int, default=100)
+    ap.add_argument("--platform", default="",
+                    help="jax platform override, e.g. cpu (accuracy is "
+                         "backend-independent; sitecustomize pins the "
+                         "TPU plugin, so the env var alone is not enough)")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from dsp_tpu.config import PipelineConfig
+    from dsp_tpu.io.dataset import DIGITS, make_corpus, synth_connected
+    from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    from dsp_tpu.models.vq import VqRecognizer
+
+    cfg = PipelineConfig()
+    corpus = make_corpus(n_per_word=3, seed=0)
+
+    rng = np.random.default_rng(args.seed)
+    truths, clips = [], []
+    for i in range(args.clips):
+        labs = [DIGITS[int(rng.integers(10))]
+                for _ in range(int(rng.integers(1, 6)))]
+        truths.append(labs)
+        clips.append(synth_connected(labs, args.seed + i,
+                                     noise=args.noise))
+
+    knn = KnnDtwRecognizer(cfg, k=1)
+    for lab, xs in corpus.items():
+        knn.enroll(lab, xs)
+    hmm = GmmHmmRecognizer(cfg)
+    hmm.fit(corpus)
+    vq = VqRecognizer(cfg)
+    vq.fit(corpus)
+
+    n_words = sum(len(t) for t in truths)
+    print(f"# connected eval: {args.clips} clips, {n_words} words, "
+          f"noise={args.noise}")
+    print("| family | WER | exact-seq acc | seg-count acc |")
+    print("|---|---|---|---|")
+    for name, fam in [("kNN-DTW", knn), ("GMM-HMM", hmm), ("VQ", vq)]:
+        got = fam.classify_connected(clips)
+        errs = sum(edit_distance(g, t) for g, t in zip(got, truths))
+        exact = sum(g == t for g, t in zip(got, truths))
+        segs = sum(len(g) == len(t) for g, t in zip(got, truths))
+        print(f"| {name} | {errs / n_words:.3f} | "
+              f"{exact / args.clips:.3f} | {segs / args.clips:.3f} |")
+
+
+if __name__ == "__main__":
+    main()

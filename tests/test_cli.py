@@ -53,6 +53,21 @@ def test_recognize_command(corpus_dir, tmp_path, capsys):
     assert wav in out
 
 
+def test_recognize_connected(corpus_dir, tmp_path, capsys):
+    from dsp_tpu.io.dataset import synth_connected
+    from dsp_tpu.io.wav import write_wav
+
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    labels = sorted(os.listdir(os.path.join(corpus_dir, "train")))[:2]
+    wav = str(tmp_path / "connected.wav")
+    write_wav(wav, 16000, synth_connected(labels, 1))
+    cli.main(["recognize", "--bank", bank, "--connected", wav])
+    out = capsys.readouterr().out
+    assert out.strip().split("\t")[1].split(" ") == labels
+
+
 def test_demo_synthetic_stream(corpus_dir, tmp_path, capsys):
     bank = str(tmp_path / "bank.npz")
     cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),

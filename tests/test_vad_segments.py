@@ -1,0 +1,155 @@
+"""Multi-segment VAD (connected words): golden/JAX parity + e2e.
+
+The reference's endpoint detector both trims and *splits* utterances
+(SURVEY.md §1a L1).  These tests pin the JAX splitter
+(ops/vad.py:detect_segments) frame-for-frame to the golden loop spec
+(golden/vad.py:detect_segments) and drive the connected-word
+classification path end to end.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsp_tpu.config import FrontendConfig, PipelineConfig, VadConfig
+from dsp_tpu.golden import vad as gvad
+from dsp_tpu.io.dataset import DIGITS, make_corpus, synth_connected, synth_word
+from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+from dsp_tpu.ops import vad as jvad
+
+FCFG = FrontendConfig()
+VCFG = VadConfig()
+SR = 16000
+
+
+def _jax_segments(x, max_segments=8, length=None):
+    s, e, n = jvad.detect_segments(
+        jnp.asarray(x), FCFG, VCFG,
+        None if length is None else jnp.asarray(length),
+        max_segments)
+    return [(int(s[i]), int(e[i])) for i in range(int(n))]
+
+
+def _tone_silence_signal(blocks, noise=0.002, seed=0):
+    """[(kind, ms)] with kind in {'tone','sil'} -> float32 signal."""
+    rng = np.random.default_rng(seed)
+    pieces = []
+    for kind, ms in blocks:
+        n = int(ms / 1000.0 * SR)
+        t = np.arange(n) / SR
+        pieces.append(0.5 * np.sin(2 * np.pi * 440.0 * t)
+                      if kind == "tone" else np.zeros(n))
+    x = np.concatenate(pieces)
+    return (x + noise * rng.standard_normal(len(x))).astype(np.float32)
+
+
+class TestGoldenParity:
+    def test_random_connected_clips(self):
+        rng = np.random.default_rng(42)
+        for trial in range(12):
+            labs = [DIGITS[int(rng.integers(10))]
+                    for _ in range(int(rng.integers(1, 5)))]
+            x = synth_connected(labs, trial)
+            want = gvad.detect_segments(x, FCFG, VCFG)
+            assert _jax_segments(x) == want[:8], f"trial {trial}"
+
+    def test_tone_block_patterns(self):
+        for blocks in [
+            [("sil", 200), ("tone", 300), ("sil", 400), ("tone", 250),
+             ("sil", 300)],
+            [("sil", 150), ("tone", 120), ("sil", 80), ("tone", 120),
+             ("sil", 200)],                    # short gap: should merge
+            [("sil", 120), ("tone", 1200), ("sil", 120)],
+            [("tone", 400), ("sil", 500), ("tone", 60), ("sil", 400)],
+        ]:
+            x = _tone_silence_signal(blocks)
+            want = gvad.detect_segments(x, FCFG, VCFG)
+            assert _jax_segments(x) == want[:8], blocks
+
+    def test_all_silence_yields_no_segments(self):
+        x = (0.001 * np.random.default_rng(0)
+             .standard_normal(SR)).astype(np.float32)
+        assert gvad.detect_segments(x, FCFG, VCFG) == []
+        assert _jax_segments(x) == []
+
+
+class TestSpecProperties:
+    def test_short_gap_merges_long_gap_splits(self):
+        hop_ms = 1000.0 * FCFG.hop_len / SR
+        short = (VCFG.max_silence_frames - 6) * hop_ms
+        long = (VCFG.max_silence_frames + 15) * hop_ms
+        merged = _jax_segments(_tone_silence_signal(
+            [("sil", 200), ("tone", 300), ("sil", short), ("tone", 300),
+             ("sil", 300)]))
+        split = _jax_segments(_tone_silence_signal(
+            [("sil", 200), ("tone", 300), ("sil", long), ("tone", 300),
+             ("sil", 300)]))
+        assert len(merged) == 1
+        assert len(split) == 2
+
+    def test_padding_invariance(self):
+        x = synth_connected(["two", "eight"], 3)
+        plain = _jax_segments(x)
+        padded = np.concatenate([x, np.zeros(24000, np.float32)])
+        assert _jax_segments(padded, length=len(x)) == plain
+
+    def test_max_segments_truncates_in_time_order(self):
+        labs = ["one", "two", "three", "four", "five"]
+        x = synth_connected(labs, 9)
+        full = _jax_segments(x, max_segments=8)
+        first3 = _jax_segments(x, max_segments=3)
+        assert len(full) == 5
+        assert first3 == full[:3]
+
+    def test_single_word_yields_one_segment(self):
+        for seed in range(4):
+            x = synth_word("five", seed)
+            segs = _jax_segments(x)
+            assert len(segs) == 1
+
+
+class TestConnectedRecognition:
+    @pytest.fixture(scope="class")
+    def recognizer(self):
+        rec = KnnDtwRecognizer(PipelineConfig(), k=1)
+        for lab, xs in make_corpus(n_per_word=2, seed=0).items():
+            rec.enroll(lab, xs)
+        return rec
+
+    def test_connected_labels(self, recognizer):
+        clips = [synth_connected(["three", "seven", "zero"], 5),
+                 synth_connected(["one"], 6),
+                 synth_connected(["nine", "four"], 7)]
+        got = recognizer.classify_connected(clips)
+        assert got == [["three", "seven", "zero"], ["one"],
+                       ["nine", "four"]]
+
+    def test_single_word_matches_isolated_path(self, recognizer):
+        clip = synth_connected(["six"], 8)
+        iso = recognizer.recognize(clip)
+        conn = recognizer.classify_connected([clip])
+        assert conn == [[iso]]
+
+    def test_hmm_and_vq_families_decode_connected(self):
+        from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+        from dsp_tpu.models.vq import VqRecognizer
+
+        corpus = make_corpus(n_per_word=3, seed=0)
+        clips = [synth_connected(["three", "seven", "zero"], 5),
+                 synth_connected(["one"], 6)]
+        want = [["three", "seven", "zero"], ["one"]]
+        vq = VqRecognizer(PipelineConfig())
+        vq.fit(corpus)
+        assert vq.classify_connected(clips) == want
+        hmm = GmmHmmRecognizer(PipelineConfig())
+        hmm.fit(corpus)
+        assert hmm.classify_connected(clips) == want
+
+    def test_return_segments_shapes(self, recognizer):
+        clips = [synth_connected(["two", "five"], 11)]
+        out, starts, ends, n_segs = recognizer.classify_connected(
+            clips, max_segments=4, return_segments=True)
+        assert out == [["two", "five"]]
+        assert starts.shape == (1, 4) and ends.shape == (1, 4)
+        assert int(n_segs[0]) == 2
+        assert int(ends[0, 0]) <= int(starts[0, 1])
