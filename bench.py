@@ -10,7 +10,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 10_000 (the BASELINE.json north-star floor).
 
 Env knobs: BENCH_UTTS (default 1024), BENCH_TEMPLATES (100),
-BENCH_CHUNK (256), BENCH_PASSES (2), BENCH_PRECISION (default|highest),
+BENCH_CHUNK (256), BENCH_PASSES (5, value = median), BENCH_PRECISION (default|highest),
 BENCH_SLOPE ("" = shipped default | "itakura" — the slope-constrained
 matcher, ~1.4x faster with different alignment semantics).
 """

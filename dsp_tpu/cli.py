@@ -153,6 +153,26 @@ def cmd_make_corpus(args):
             for i, x in enumerate(sigs):
                 write_wav(os.path.join(d, f"{lab}_{i:03d}.wav"), 16000, x)
     log.info("wrote synthetic corpus to %s", args.out)
+    if args.connected > 0:
+        # connected split: multi-word recordings + a labels.tsv manifest
+        # (file<TAB>space-joined words), consumed by evaluate-connected
+        import numpy as np
+
+        from dsp_tpu.io.dataset import synth_connected
+        d = os.path.join(args.out, "connected")
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(2000)
+        lines = []
+        for i in range(args.connected):
+            labs = [DIGITS[int(rng.integers(args.words))]
+                    for _ in range(int(rng.integers(1, 6)))]
+            name = f"clip_{i:03d}.wav"
+            write_wav(os.path.join(d, name), 16000,
+                      synth_connected(labs, 2000 + i))
+            lines.append(f"{name}\t{' '.join(labs)}")
+        with open(os.path.join(d, "labels.tsv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        log.info("wrote %d connected clips to %s", args.connected, d)
 
 
 def cmd_enroll(args):
@@ -214,6 +234,34 @@ def cmd_evaluate(args):
     print(f"accuracy: {result['accuracy']:.4f} ({result['n']} utterances)")
     if args.metrics_out:
         metrics.dump(args.metrics_out)
+
+
+def cmd_evaluate_connected(args):
+    """WER of a template bank on connected multi-word recordings."""
+    from dsp_tpu.io.wav import read_wav
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    from dsp_tpu.pipeline import edit_distance
+
+    cfg = _pipeline_cfg(args)
+    rec = KnnDtwRecognizer.load(args.bank, cfg)
+    if args.k != rec.k:
+        rec.k = args.k
+    truths, sigs = [], []
+    with open(os.path.join(args.corpus, "labels.tsv")) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            name, labstr = line.rstrip("\n").split("\t")
+            truths.append(labstr.split(" "))
+            sigs.append(read_wav(os.path.join(args.corpus, name),
+                                 cfg.frontend.sample_rate)[1])
+    got = rec.classify_connected(sigs, max_segments=args.max_segments)
+    n_words = sum(len(t) for t in truths)
+    errs = sum(edit_distance(g, t) for g, t in zip(got, truths))
+    exact = sum(g == t for g, t in zip(got, truths))
+    print(f"wer: {errs / max(n_words, 1):.4f} ({n_words} words)")
+    print(f"exact-sequence accuracy: {exact / max(len(truths), 1):.4f} "
+          f"({len(truths)} clips)")
 
 
 def cmd_train_hmm(args):
@@ -489,6 +537,9 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--n", type=int, default=5, help="utterances per word/split")
     p.add_argument("--words", type=int, default=10)
+    p.add_argument("--connected", type=int, default=0, metavar="N",
+                   help="also write N connected multi-word recordings + "
+                        "labels.tsv manifest (for evaluate-connected)")
     p.add_argument("--hostile", action="store_true",
                    help="adversarial corpus: 35 confusable classes, "
                         "held-out test speakers (io/hostile.py)")
@@ -525,6 +576,15 @@ def main(argv=None):
                         "relay compile stalls (utils/relay.py)")
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("evaluate-connected",
+                       help="WER of a bank on connected recordings")
+    p.add_argument("--corpus", required=True,
+                   help="dir with labels.tsv + WAVs (make-corpus --connected)")
+    p.add_argument("--bank", required=True)
+    p.add_argument("--max-segments", type=int, default=8)
+    _add_common(p)
+    p.set_defaults(fn=cmd_evaluate_connected)
 
     p = sub.add_parser("train-hmm", help="train per-word GMM-HMMs")
     p.add_argument("--corpus", required=True)

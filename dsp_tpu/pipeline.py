@@ -393,6 +393,20 @@ def extract_signals(signals, mats: fe.FrontendMatrices,
     return extract_features(x, n, mats, cfg, precision)
 
 
+def edit_distance(a, b) -> int:
+    """Levenshtein distance between two label sequences (host metric).
+
+    The word-error numerator for connected-word evaluation
+    (scripts/connected_eval.py, CLI evaluate-connected)."""
+    d = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        prev, d[0] = d[0], i
+        for j, y in enumerate(b, 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                   prev + (x != y))
+    return int(d[len(b)])
+
+
 def evaluate_corpus(classify_batch, corpus: dict) -> dict:
     """{label: [signals]} -> accuracy + per-label confusion counts.
 

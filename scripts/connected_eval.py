@@ -18,16 +18,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def edit_distance(a, b):
-    d = np.arange(len(b) + 1)
-    for i, x in enumerate(a, 1):
-        prev, d[0] = d[0], i
-        for j, y in enumerate(b, 1):
-            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
-                                   prev + (x != y))
-    return int(d[len(b)])
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=60)
@@ -45,6 +35,7 @@ def main():
 
     from dsp_tpu.config import PipelineConfig
     from dsp_tpu.io.dataset import DIGITS, make_corpus, synth_connected
+    from dsp_tpu.pipeline import edit_distance
     from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
     from dsp_tpu.models.vq import VqRecognizer

@@ -68,6 +68,21 @@ def test_recognize_connected(corpus_dir, tmp_path, capsys):
     assert out.strip().split("\t")[1].split(" ") == labels
 
 
+def test_make_corpus_connected_and_evaluate(tmp_path, capsys):
+    d = str(tmp_path / "corpus")
+    cli.main(["make-corpus", "--out", d, "--n", "2", "--words", "3",
+              "--connected", "4"])
+    conn = os.path.join(d, "connected")
+    assert len([f for f in os.listdir(conn) if f.endswith(".wav")]) == 4
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(d, "train"),
+              "--bank", bank])
+    cli.main(["evaluate-connected", "--corpus", conn, "--bank", bank])
+    out = capsys.readouterr().out
+    wer = float(out.rsplit("wer:", 1)[1].split("(")[0])
+    assert wer <= 0.25
+
+
 def test_demo_synthetic_stream(corpus_dir, tmp_path, capsys):
     bank = str(tmp_path / "bank.npz")
     cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
