@@ -145,6 +145,26 @@ class TestConnectedRecognition:
         hmm.fit(corpus)
         assert hmm.classify_connected(clips) == want
 
+    def test_streaming_agrees_with_offline_splitter(self, recognizer):
+        """The causal streaming detector and the offline splitter are
+        different algorithms (running threshold state machine vs global
+        run-length masks) but must emit the same label sequence on clean
+        well-separated connected speech."""
+        from dsp_tpu.models.streaming import StreamingRecognizer
+
+        for seed in (21, 22):
+            labs_truth = ["five", "two", "eight"]
+            clip = synth_connected(labs_truth, seed)
+            offline = recognizer.classify_connected([clip])[0]
+
+            sr = StreamingRecognizer(recognizer, chunk_len=1600)
+            events = []
+            n = (len(clip) // 1600) * 1600
+            for lo in range(0, n, 1600):
+                events.extend(sr.feed(clip[lo:lo + 1600]))
+            events.extend(sr.flush())
+            assert [e[0] for e in events] == offline == labs_truth
+
     def test_return_segments_shapes(self, recognizer):
         clips = [synth_connected(["two", "five"], 11)]
         out, starts, ends, n_segs = recognizer.classify_connected(
