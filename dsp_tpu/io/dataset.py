@@ -103,11 +103,12 @@ def synth_connected(labels, seed: int, sr: int = 16000,
 
 
 def make_corpus(labels=None, n_per_word: int = 3, seed: int = 0,
-                sr: int = 16000, max_samples: int = 32000):
+                sr: int = 16000, max_samples: int = 32000,
+                noise: float = 0.005):
     """Build {label: [utterance, ...]} with deterministic content."""
     labels = list(labels) if labels is not None else DIGITS
     return {
-        lab: [synth_word(lab, seed * 1000 + i, sr, max_samples)
+        lab: [synth_word(lab, seed * 1000 + i, sr, max_samples, noise)
               for i in range(n_per_word)]
         for lab in labels
     }

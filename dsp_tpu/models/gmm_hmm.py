@@ -566,6 +566,15 @@ class GmmHmmRecognizer:
         """
         if self.params is None:
             raise ValueError("model not fitted")
+        chunk = max(1, 256 // max_segments)
+        if len(signals) > chunk:                # bound [B*S, T, W, S] logb
+            out = []
+            for lo in range(0, len(signals), chunk):
+                part = list(signals[lo:lo + chunk])
+                n_real = len(part)
+                part += [part[-1]] * (chunk - n_real)     # pad, same shapes
+                out.extend(self.classify_connected(part, max_segments)[:n_real])
+            return out
         flat, n_segs, _, _ = pl.segments_flat(
             signals, self.mats, self.cfg, max_segments)
         scores = np.asarray(

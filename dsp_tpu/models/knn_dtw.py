@@ -227,7 +227,28 @@ class KnnDtwRecognizer:
 
         With ``return_segments`` also returns (starts, ends, n_segs)
         frame indices from the splitter.
+
+        Chunked like ``classify_batch``: at most ~256 flat segments per
+        device program, so the DTW cost intermediate stays bounded on
+        large connected batches.
         """
+        chunk = max(1, 256 // max_segments)
+        if len(signals) > chunk:
+            outs, sts, ens, nss = [], [], [], []
+            for lo in range(0, len(signals), chunk):
+                part = list(signals[lo:lo + chunk])
+                n_real = len(part)
+                part += [part[-1]] * (chunk - n_real)     # pad, same shapes
+                got = self.classify_connected(part, max_segments,
+                                              return_segments=True)
+                outs.extend(got[0][:n_real])
+                sts.append(got[1][:n_real])
+                ens.append(got[2][:n_real])
+                nss.append(got[3][:n_real])
+            if return_segments:
+                return (outs, np.concatenate(sts), np.concatenate(ens),
+                        np.concatenate(nss))
+            return outs
         bank, ids = self.device_bank()
         quantum = self.cfg.max_samples
         n_max = max(1, max(len(np.asarray(s)) for s in signals))

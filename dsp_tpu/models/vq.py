@@ -218,6 +218,15 @@ class VqRecognizer:
         """
         if self.codebooks is None:
             self.fit()
+        chunk = max(1, 256 // max_segments)
+        if len(signals) > chunk:                # bound the [B*S, W, T, C]
+            out = []                            # distance intermediate
+            for lo in range(0, len(signals), chunk):
+                part = list(signals[lo:lo + chunk])
+                n_real = len(part)
+                part += [part[-1]] * (chunk - n_real)     # pad, same shapes
+                out.extend(self.classify_connected(part, max_segments)[:n_real])
+            return out
         flat, n_segs, _, _ = pl.segments_flat(
             signals, self.mats, self.cfg, max_segments)
         d = np.asarray(vq_distortion(flat.feats, flat.length,

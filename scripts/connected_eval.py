@@ -22,6 +22,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=60)
     ap.add_argument("--noise", type=float, default=0.005)
+    ap.add_argument("--train-noise", type=float, default=0.005,
+                    help="noise level of the enrollment/training corpus "
+                         "(match --noise to measure in-noise refits — the "
+                         "documented remedy for the HMM's clean-trained "
+                         "emission mismatch, docs/RESULTS.md)")
     ap.add_argument("--seed", type=int, default=100)
     ap.add_argument("--platform", default="",
                     help="jax platform override, e.g. cpu (accuracy is "
@@ -41,7 +46,7 @@ def main():
     from dsp_tpu.models.vq import VqRecognizer
 
     cfg = PipelineConfig()
-    corpus = make_corpus(n_per_word=3, seed=0)
+    corpus = make_corpus(n_per_word=3, seed=0, noise=args.train_noise)
 
     rng = np.random.default_rng(args.seed)
     truths, clips = [], []
@@ -62,7 +67,7 @@ def main():
 
     n_words = sum(len(t) for t in truths)
     print(f"# connected eval: {args.clips} clips, {n_words} words, "
-          f"noise={args.noise}")
+          f"noise={args.noise}, train-noise={args.train_noise}")
     print("| family | WER | exact-seq acc | seg-count acc |")
     print("|---|---|---|---|")
     for name, fam in [("kNN-DTW", knn), ("GMM-HMM", hmm), ("VQ", vq)]:

@@ -165,6 +165,20 @@ class TestConnectedRecognition:
             events.extend(sr.flush())
             assert [e[0] for e in events] == offline == labs_truth
 
+    def test_chunked_connected_matches_unchunked(self, recognizer):
+        """Recording-level chunking (max ~256 flat segments per device
+        program) must not change labels: chunk boundaries only repeat
+        padding rows that are trimmed on the way out."""
+        clips = [synth_connected([DIGITS[i % 10]], 40 + i)
+                 for i in range(9)]
+        unchunked = recognizer.classify_connected(clips, max_segments=8)
+        chunked = recognizer.classify_connected(clips, max_segments=32)
+        assert [c[0] for c in chunked] == [u[0] for u in unchunked]
+        out, starts, ends, n_segs = recognizer.classify_connected(
+            clips, max_segments=32, return_segments=True)
+        assert starts.shape == (9, 32) and len(out) == 9
+        assert (n_segs == 1).all()
+
     def test_return_segments_shapes(self, recognizer):
         clips = [synth_connected(["two", "five"], 11)]
         out, starts, ends, n_segs = recognizer.classify_connected(
