@@ -126,6 +126,10 @@ def cmd_make_corpus(args):
     from dsp_tpu.io.dataset import DIGITS, make_corpus
     from dsp_tpu.io.wav import write_wav
     if getattr(args, "hostile", False):
+        if args.connected > 0:
+            raise SystemExit("make-corpus: --connected is built from the "
+                             "digit vocabulary and does not combine with "
+                             "--hostile (run two make-corpus invocations)")
         # adversarial corpus (io/hostile.py): confusable 35-class vocab,
         # disjoint train/test speakers, optional degradation condition
         from dsp_tpu.io.hostile import hostile_vocab, make_hostile_corpus
@@ -162,9 +166,10 @@ def cmd_make_corpus(args):
         d = os.path.join(args.out, "connected")
         os.makedirs(d, exist_ok=True)
         rng = np.random.default_rng(2000)
+        vocab = DIGITS[: max(1, args.words)]    # same clamp as the splits
         lines = []
         for i in range(args.connected):
-            labs = [DIGITS[int(rng.integers(args.words))]
+            labs = [vocab[int(rng.integers(len(vocab)))]
                     for _ in range(int(rng.integers(1, 6)))]
             name = f"clip_{i:03d}.wav"
             write_wav(os.path.join(d, name), 16000,

@@ -560,28 +560,17 @@ class GmmHmmRecognizer:
         """Recordings of SEVERAL words -> one label list per recording.
 
         Connected-word decoding for the HMM family: the shared
-        multi-segment VAD split (pipeline.segments_flat) feeds every
+        multi-segment VAD split (pipeline.decode_connected) feeds every
         segment through the same batched Viterbi scorer as
         ``classify_batch``.
         """
         if self.params is None:
             raise ValueError("model not fitted")
-        chunk = max(1, 256 // max_segments)
-        if len(signals) > chunk:                # bound [B*S, T, W, S] logb
-            out = []
-            for lo in range(0, len(signals), chunk):
-                part = list(signals[lo:lo + chunk])
-                n_real = len(part)
-                part += [part[-1]] * (chunk - n_real)     # pad, same shapes
-                out.extend(self.classify_connected(part, max_segments)[:n_real])
-            return out
-        flat, n_segs, _, _ = pl.segments_flat(
-            signals, self.mats, self.cfg, max_segments)
-        scores = np.asarray(
-            score_words(flat.feats, flat.length, self.params))
-        ids = scores.argmax(axis=-1).reshape(len(signals), max_segments)
-        return [[self.labels[int(i)] for i in ids[b, : int(n_segs[b])]]
-                for b in range(len(signals))]
+        score = lambda flat: np.asarray(
+            score_words(flat.feats, flat.length, self.params)).argmax(-1)
+        return pl.decode_connected(
+            signals, self.mats, self.cfg, max_segments, score,
+            lambda ids: [self.labels[int(i)] for i in ids])[0]
 
     def _score_sharded(self, signals) -> np.ndarray:
         """Data-parallel Viterbi decode: the utterance batch shards over

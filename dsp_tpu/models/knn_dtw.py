@@ -226,43 +226,23 @@ class KnnDtwRecognizer:
         of it so compile shapes stay quantised.
 
         With ``return_segments`` also returns (starts, ends, n_segs)
-        frame indices from the splitter.
-
-        Chunked like ``classify_batch``: at most ~256 flat segments per
-        device program, so the DTW cost intermediate stays bounded on
-        large connected batches.
+        frame indices from the splitter.  Chunking, empty-input and
+        dummy-segment handling live in ``pipeline.decode_connected``
+        (shared with the HMM/VQ families).
         """
-        chunk = max(1, 256 // max_segments)
-        if len(signals) > chunk:
-            outs, sts, ens, nss = [], [], [], []
-            for lo in range(0, len(signals), chunk):
-                part = list(signals[lo:lo + chunk])
-                n_real = len(part)
-                part += [part[-1]] * (chunk - n_real)     # pad, same shapes
-                got = self.classify_connected(part, max_segments,
-                                              return_segments=True)
-                outs.extend(got[0][:n_real])
-                sts.append(got[1][:n_real])
-                ens.append(got[2][:n_real])
-                nss.append(got[3][:n_real])
-            if return_segments:
-                return (outs, np.concatenate(sts), np.concatenate(ens),
-                        np.concatenate(nss))
-            return outs
         bank, ids = self.device_bank()
-        quantum = self.cfg.max_samples
-        n_max = max(1, max(len(np.asarray(s)) for s in signals))
-        pad_len = quantum * -(-n_max // quantum)
-        x, n = pl.pad_signals(signals, pad_len)
-        label_ids, n_segs, starts, ends = pl.recognize_connected_batch(
-            x, n, self.mats, bank, ids, n_labels=len(self.labels),
-            k=self.k, cfg=self.cfg, max_segments=max_segments)
-        label_ids = np.asarray(label_ids)
-        n_segs = np.asarray(n_segs)
-        out = [self._ids_to_labels(label_ids[b, : int(n_segs[b])])
-               for b in range(len(signals))]
+
+        def score(flat):
+            label_ids, _ = pl.classify_features(
+                flat, bank, ids, n_labels=len(self.labels), k=self.k,
+                cfg=self.cfg)
+            return label_ids
+
+        out, starts, ends, n_segs = pl.decode_connected(
+            signals, self.mats, self.cfg, max_segments,
+            score, self._ids_to_labels)
         if return_segments:
-            return out, np.asarray(starts), np.asarray(ends), n_segs
+            return out, starts, ends, n_segs
         return out
 
     def evaluate(self, corpus: dict) -> dict:

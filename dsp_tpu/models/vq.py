@@ -212,29 +212,19 @@ class VqRecognizer:
         """Recordings of SEVERAL words -> one label list per recording.
 
         Connected-word decoding for the VQ family: the shared
-        multi-segment VAD split (pipeline.segments_flat) feeds every
+        multi-segment VAD split (pipeline.decode_connected) feeds every
         segment through the same distortion matcher as
         ``classify_batch``.
         """
         if self.codebooks is None:
             self.fit()
-        chunk = max(1, 256 // max_segments)
-        if len(signals) > chunk:                # bound the [B*S, W, T, C]
-            out = []                            # distance intermediate
-            for lo in range(0, len(signals), chunk):
-                part = list(signals[lo:lo + chunk])
-                n_real = len(part)
-                part += [part[-1]] * (chunk - n_real)     # pad, same shapes
-                out.extend(self.classify_connected(part, max_segments)[:n_real])
-            return out
-        flat, n_segs, _, _ = pl.segments_flat(
-            signals, self.mats, self.cfg, max_segments)
-        d = np.asarray(vq_distortion(flat.feats, flat.length,
-                                     jnp.asarray(self.codebooks),
-                                     self.vq.squared))
-        ids = d.argmin(axis=-1).reshape(len(signals), max_segments)
-        return [[self.labels[int(i)] for i in ids[b, : int(n_segs[b])]]
-                for b in range(len(signals))]
+        cb = jnp.asarray(self.codebooks)
+        score = lambda flat: np.asarray(
+            vq_distortion(flat.feats, flat.length, cb,
+                          self.vq.squared)).argmin(-1)
+        return pl.decode_connected(
+            signals, self.mats, self.cfg, max_segments, score,
+            lambda ids: [self.labels[int(i)] for i in ids])[0]
 
     def recognize(self, signal) -> str:
         return self.classify_batch([signal])[0]

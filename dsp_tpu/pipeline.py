@@ -383,6 +383,45 @@ def segments_flat(signals, mats: fe.FrontendMatrices,
     return flat, np.asarray(n_segs), np.asarray(starts), np.asarray(ends)
 
 
+def decode_connected(signals, mats: fe.FrontendMatrices,
+                     cfg: PipelineConfig, max_segments: int,
+                     score_flat, ids_to_labels,
+                     precision=jax.lax.Precision.HIGHEST):
+    """Family-independent connected-word decode over host recordings.
+
+    Shared by every family's ``classify_connected`` (kNN-DTW, GMM-HMM,
+    VQ): handles empty input, recording-level chunking (at most ~256
+    flat segments per device program so the family's scoring
+    intermediate stays bounded, like the isolated classify paths; the
+    last chunk is padded with repeats and trimmed), the
+    :func:`segments_flat` split, and dummy-row masking.
+
+    ``score_flat(Features [B*S]) -> [B*S] label ids`` is the family's
+    scorer; ``ids_to_labels(1-D ids) -> [str]`` its label mapping (the
+    kNN voter can emit -1 for all-dead rows).  Returns
+    ``(label_lists, starts, ends, n_segs)``.
+    """
+    if not len(signals):
+        z = np.zeros((0, max_segments), np.int32)
+        return [], z, z.copy(), np.zeros((0,), np.int32)
+    chunk = max(1, 256 // max_segments)
+    outs, sts, ens, nss = [], [], [], []
+    for lo in range(0, len(signals), chunk):
+        part = list(signals[lo:lo + chunk])
+        n_real = len(part)
+        part += [part[-1]] * (chunk - n_real)     # pad, same shapes
+        flat, n_segs, starts, ends = segments_flat(
+            part, mats, cfg, max_segments, precision)
+        ids = np.asarray(score_flat(flat)).reshape(len(part), max_segments)
+        outs.extend(ids_to_labels(ids[b, : int(n_segs[b])])
+                    for b in range(n_real))
+        sts.append(starts[:n_real])
+        ens.append(ends[:n_real])
+        nss.append(n_segs[:n_real])
+    return (outs, np.concatenate(sts), np.concatenate(ens),
+            np.concatenate(nss))
+
+
 def extract_signals(signals, mats: fe.FrontendMatrices,
                     cfg: PipelineConfig,
                     precision=jax.lax.Precision.HIGHEST) -> Features:
