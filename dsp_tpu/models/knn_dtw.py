@@ -228,15 +228,20 @@ class KnnDtwRecognizer:
         With ``return_segments`` also returns (starts, ends, n_segs)
         frame indices from the splitter.  Chunking, empty-input and
         dummy-segment handling live in ``pipeline.decode_connected``
-        (shared with the HMM/VQ families).
+        (shared with the HMM/VQ families).  With ``mesh`` set the
+        per-segment classify runs bank-sharded over the mesh, exactly
+        like ``classify_batch``.
         """
-        bank, ids = self.device_bank()
+        if self.mesh is not None:
+            score = self._score_flat_sharded
+        else:
+            bank, ids = self.device_bank()
 
-        def score(flat):
-            label_ids, _ = pl.classify_features(
-                flat, bank, ids, n_labels=len(self.labels), k=self.k,
-                cfg=self.cfg)
-            return label_ids
+            def score(flat):
+                label_ids, _ = pl.classify_features(
+                    flat, bank, ids, n_labels=len(self.labels), k=self.k,
+                    cfg=self.cfg)
+                return label_ids
 
         out, starts, ends, n_segs = pl.decode_connected(
             signals, self.mats, self.cfg, max_segments,
@@ -244,6 +249,22 @@ class KnnDtwRecognizer:
         if return_segments:
             return out, starts, ends, n_segs
         return out
+
+    def _score_flat_sharded(self, flat: pl.Features):
+        """Flat per-segment Features -> label ids via the sharded bank
+        (pads the batch to the data-axis multiple, trims after)."""
+        from dsp_tpu import parallel as par
+
+        bf, bl, ids_r, valid = self.sharded_bank()
+        nd = self.mesh.shape[par.DATA_AXIS]
+        q, b_orig = par.pad_axis_to_multiple(np.asarray(flat.feats), nd)
+        ql, _ = par.pad_axis_to_multiple(np.asarray(flat.length), nd)
+        ql = np.maximum(ql, 1)
+        qd, qld = par.shard_queries(self.mesh, q, ql)
+        label_ids, _ = par.classify_sharded(
+            self.mesh, qd, qld, bf, bl, ids_r, valid, cfg=self.cfg.dtw,
+            k=self.k, n_labels=len(self.labels))
+        return np.asarray(label_ids)[:b_orig]
 
     def evaluate(self, corpus: dict) -> dict:
         """{label: [signals]} -> accuracy + per-label confusion counts."""

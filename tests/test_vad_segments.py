@@ -179,6 +179,23 @@ class TestConnectedRecognition:
         assert starts.shape == (9, 32) and len(out) == 9
         assert (n_segs == 1).all()
 
+    def test_mesh_connected_matches_single_device(self, recognizer):
+        """Bank-sharded connected decoding must match the single-device
+        path label-for-label (same flat segment features, classify via
+        parallel.classify_sharded)."""
+        from dsp_tpu import parallel as par
+
+        clips = [synth_connected(["three", "seven", "zero"], 5),
+                 synth_connected(["one"], 6),
+                 synth_connected(["nine", "four"], 7)]
+        want = recognizer.classify_connected(clips)
+        recognizer.mesh = par.make_mesh(4, 2)
+        try:
+            got = recognizer.classify_connected(clips)
+        finally:
+            recognizer.mesh = None
+        assert got == want
+
     def test_return_segments_shapes(self, recognizer):
         clips = [synth_connected(["two", "five"], 11)]
         out, starts, ends, n_segs = recognizer.classify_connected(
