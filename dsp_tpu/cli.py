@@ -264,9 +264,16 @@ def cmd_evaluate_connected(args):
     n_words = sum(len(t) for t in truths)
     errs = sum(edit_distance(g, t) for g, t in zip(got, truths))
     exact = sum(g == t for g, t in zip(got, truths))
-    print(f"wer: {errs / max(n_words, 1):.4f} ({n_words} words)")
-    print(f"exact-sequence accuracy: {exact / max(len(truths), 1):.4f} "
+    wer = errs / max(n_words, 1)
+    exact_acc = exact / max(len(truths), 1)
+    print(f"wer: {wer:.4f} ({n_words} words)")
+    print(f"exact-sequence accuracy: {exact_acc:.4f} "
           f"({len(truths)} clips)")
+    if args.metrics_out:
+        m = RunMetrics("evaluate-connected")
+        m.record(wer=wer, exact_sequence_accuracy=exact_acc,
+                 n_words=n_words, n_clips=len(truths), config=cfg)
+        m.dump(args.metrics_out)
 
 
 def cmd_train_hmm(args):

@@ -77,10 +77,13 @@ def test_make_corpus_connected_and_evaluate(tmp_path, capsys):
     bank = str(tmp_path / "bank.npz")
     cli.main(["enroll", "--corpus", os.path.join(d, "train"),
               "--bank", bank])
-    cli.main(["evaluate-connected", "--corpus", conn, "--bank", bank])
+    metrics = str(tmp_path / "conn_metrics.json")
+    cli.main(["evaluate-connected", "--corpus", conn, "--bank", bank,
+              "--metrics-out", metrics])
     out = capsys.readouterr().out
     wer = float(out.rsplit("wer:", 1)[1].split("(")[0])
     assert wer <= 0.25
+    assert json.load(open(metrics))["wer"] == wer
 
 
 def test_demo_synthetic_stream(corpus_dir, tmp_path, capsys):
