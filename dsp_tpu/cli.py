@@ -276,6 +276,47 @@ def cmd_evaluate_connected(args):
         m.dump(args.metrics_out)
 
 
+def cmd_serve(args):
+    """Long-lived recognition loop: one WAV path per stdin line -> one
+    tab-separated result line (path, label(s), milliseconds).
+
+    A minimal deployment surface for scripted/piped serving: the process
+    stays resident (persistent compile cache + device bank), so after
+    the first request every call costs only the warm classify dispatch.
+    Prefix a line with ``connected `` to decode a multi-word recording
+    via the segment splitter.  EOF ends the loop.
+    """
+    import sys
+    import time as _time
+
+    from dsp_tpu.io.wav import read_wav
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    cfg = _pipeline_cfg(args)
+    rec = KnnDtwRecognizer.load(args.bank, cfg)
+    if args.k != rec.k:
+        rec.k = args.k
+    print("ready", flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        connected = line.startswith("connected ")
+        path = line[len("connected "):] if connected else line
+        t0 = _time.perf_counter()
+        try:
+            x = read_wav(path, cfg.frontend.sample_rate)[1]
+            if connected:
+                label = " ".join(rec.classify_connected(
+                    [x], max_segments=args.max_segments)[0])
+            else:
+                label = rec.recognize(x)
+            ms = (_time.perf_counter() - t0) * 1e3
+            print(f"{path}\t{label}\t{ms:.1f}", flush=True)
+        except Exception as e:
+            print(f"{path}\tERROR {type(e).__name__}: {e}", flush=True)
+
+
 def cmd_train_hmm(args):
     from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
     cfg = _pipeline_cfg(args)
@@ -597,6 +638,15 @@ def main(argv=None):
     p.add_argument("--max-segments", type=int, default=8)
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_connected)
+
+    p = sub.add_parser("serve",
+                       help="resident recognition loop (stdin WAV paths "
+                            "-> stdout label lines)")
+    p.add_argument("--bank", required=True)
+    p.add_argument("--max-segments", type=int, default=8,
+                   help="segment capacity for 'connected <path>' lines")
+    _add_common(p)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("train-hmm", help="train per-word GMM-HMMs")
     p.add_argument("--corpus", required=True)

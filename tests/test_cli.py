@@ -86,6 +86,32 @@ def test_make_corpus_connected_and_evaluate(tmp_path, capsys):
     assert json.load(open(metrics))["wer"] == wer
 
 
+def test_serve_loop(corpus_dir, tmp_path, capsys, monkeypatch):
+    import io
+
+    from dsp_tpu.io.dataset import synth_connected
+    from dsp_tpu.io.wav import write_wav
+
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    labels = sorted(os.listdir(os.path.join(corpus_dir, "train")))
+    lab_dir = labels[0]
+    wav = os.path.join(corpus_dir, "test", lab_dir,
+                       sorted(os.listdir(os.path.join(
+                           corpus_dir, "test", lab_dir)))[0])
+    conn_wav = str(tmp_path / "serve_conn.wav")
+    write_wav(conn_wav, 16000, synth_connected(labels[:2], 3))
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        f"{wav}\nconnected {conn_wav}\n{tmp_path}/missing.wav\n"))
+    cli.main(["serve", "--bank", bank])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "ready"
+    assert lines[1].split("\t")[1] == lab_dir
+    assert lines[2].split("\t")[1] == " ".join(labels[:2])
+    assert "ERROR" in lines[3]
+
+
 def test_demo_synthetic_stream(corpus_dir, tmp_path, capsys):
     bank = str(tmp_path / "bank.npz")
     cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
