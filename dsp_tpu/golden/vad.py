@@ -129,11 +129,27 @@ def detect_segments(
     order (empty if no core run exists).
     """
     frames = frame_signal(x, fcfg.frame_len, fcfg.hop_len)
-    n = frames.shape[0]
+    if frames.shape[0] == 0:
+        return []
+    return detect_segments_frames(short_time_energy(frames),
+                                  zero_crossing_rate(frames), vcfg)
+
+
+def detect_segments_frames(
+    e: np.ndarray,
+    z: np.ndarray,
+    vcfg: VadConfig = VadConfig(),
+):
+    """The splitter's loop spec on per-frame energy/ZCR vectors [T].
+
+    Exposed separately so the JAX mirror can be validated by exhaustive
+    enumeration over small silent/audible/high frame patterns
+    (tests/test_vad_segments.py), the same way the Itakura recurrence is
+    pinned.
+    """
+    n = len(e)
     if n == 0:
         return []
-    e = short_time_energy(frames)
-    z = zero_crossing_rate(frames)
 
     n_init = min(vcfg.n_init, n)
     e_noise = float(np.mean(e[:n_init])) + vcfg.e_abs_floor

@@ -73,6 +73,39 @@ class TestGoldenParity:
         assert _jax_segments(x) == []
 
 
+class TestExhaustive:
+    def test_all_small_frame_patterns(self):
+        """EVERY silent/audible-only/high pattern over 8 frames (3^8 =
+        6561), with tight thresholds so core runs, audible extension,
+        gap merging, hangover and the min-utterance drop all trigger
+        within the window: the vmapped JAX splitter must equal the
+        golden loop spec case-for-case (the same exhaustive-enumeration
+        style that pins the Itakura recurrence)."""
+        import jax
+        import jax.numpy as jnp
+
+        vcfg = VadConfig(n_init=2, min_speech_frames=2,
+                         max_silence_frames=3, hangover_frames=1,
+                         min_utterance_frames=2)
+        t = 8
+        levels = np.array([0.5, 2.0, 8.0])   # vs th=4.0, tl=1.5 (noise=1)
+        pats = np.stack(np.meshgrid(*([np.arange(3)] * t),
+                                    indexing="ij"), -1).reshape(-1, t)
+        e_all = np.concatenate(
+            [np.full((len(pats), vcfg.n_init), 1.0), levels[pats]],
+            axis=1).astype(np.float64)
+        z_all = np.zeros_like(e_all)
+
+        fn = jax.jit(jax.vmap(
+            lambda e, z: jvad.detect_segments_frames(e, z, None, vcfg, 4)))
+        s, en, ns = map(np.asarray, fn(jnp.asarray(e_all),
+                                       jnp.asarray(z_all)))
+        for i in range(len(pats)):
+            want = gvad.detect_segments_frames(e_all[i], z_all[i], vcfg)
+            got = [(int(s[i, j]), int(en[i, j])) for j in range(ns[i])]
+            assert got == want[:4], (i, pats[i].tolist(), got, want)
+
+
 class TestSpecProperties:
     def test_short_gap_merges_long_gap_splits(self):
         hop_ms = 1000.0 * FCFG.hop_len / SR
