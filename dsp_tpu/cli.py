@@ -242,15 +242,26 @@ def cmd_evaluate(args):
 
 
 def cmd_evaluate_connected(args):
-    """WER of a template bank on connected multi-word recordings."""
+    """WER of any model family on connected multi-word recordings."""
     from dsp_tpu.io.wav import read_wav
-    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
     from dsp_tpu.pipeline import edit_distance
 
     cfg = _pipeline_cfg(args)
-    rec = KnnDtwRecognizer.load(args.bank, cfg)
-    if args.k != rec.k:
-        rec.k = args.k
+    given = [x for x in (args.bank, args.hmm, args.vq) if x]
+    if len(given) != 1:
+        raise SystemExit("evaluate-connected: give exactly one of "
+                         "--bank / --hmm / --vq")
+    if args.bank:
+        from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+        rec = KnnDtwRecognizer.load(args.bank, cfg)
+        if args.k != rec.k:
+            rec.k = args.k
+    elif args.hmm:
+        from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+        rec = GmmHmmRecognizer.load(args.hmm, cfg)
+    else:
+        from dsp_tpu.models.vq import VqRecognizer
+        rec = VqRecognizer.load(args.vq, cfg)
     truths, sigs = [], []
     with open(os.path.join(args.corpus, "labels.tsv")) as f:
         for line in f:
@@ -631,10 +642,12 @@ def main(argv=None):
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("evaluate-connected",
-                       help="WER of a bank on connected recordings")
+                       help="WER of any family on connected recordings")
     p.add_argument("--corpus", required=True,
                    help="dir with labels.tsv + WAVs (make-corpus --connected)")
-    p.add_argument("--bank", required=True)
+    p.add_argument("--bank", help="kNN-DTW template bank checkpoint")
+    p.add_argument("--hmm", help="GMM-HMM model checkpoint")
+    p.add_argument("--vq", help="VQ codebook checkpoint")
     p.add_argument("--max-segments", type=int, default=8)
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_connected)

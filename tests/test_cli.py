@@ -84,6 +84,16 @@ def test_make_corpus_connected_and_evaluate(tmp_path, capsys):
     wer = float(out.rsplit("wer:", 1)[1].split("(")[0])
     assert wer <= 0.25
     assert json.load(open(metrics))["wer"] == wer
+    # the other two families share the same evaluator
+    vq = str(tmp_path / "vq.npz")
+    cli.main(["train-vq", "--corpus", os.path.join(d, "train"),
+              "--model", vq])
+    cli.main(["evaluate-connected", "--corpus", conn, "--vq", vq])
+    out = capsys.readouterr().out
+    assert float(out.rsplit("wer:", 1)[1].split("(")[0]) <= 0.25
+    with pytest.raises(SystemExit):
+        cli.main(["evaluate-connected", "--corpus", conn,
+                  "--bank", bank, "--vq", vq])
 
 
 def test_serve_loop(corpus_dir, tmp_path, capsys, monkeypatch):
