@@ -142,6 +142,34 @@ def main():
          value=round(B * int(bank35.feats.shape[0]) / dt, 1),
          unit="alignments/s/chip (synthetic 35-class)")
 
+    # ---- bonus: connected-word decoding ------------------------------------
+    from dsp_tpu.io.dataset import synth_connected
+
+    n_conn, n_words = 64, 3
+    clen = 3 * cfg.max_samples
+    conn = np.zeros((n_conn, clen), np.float32)
+    clens = np.zeros(n_conn, np.int32)
+    for i in range(n_conn):
+        x = synth_connected([DIGITS[(i + j) % 10] for j in range(n_words)],
+                            300 + i)
+        m = min(len(x), clen)
+        conn[i, :m] = x[:m]
+        clens[i] = m
+    connj = jnp.asarray(conn)
+    clensj = jnp.asarray(clens)
+
+    @jax.jit
+    def conn_step(x, token):
+        label_ids, n_segs, _, _ = pl.recognize_connected_batch(
+            token_mix(x, token), clensj, mats, bank100, ids100,
+            n_labels=len(DIGITS), cfg=cfg, max_segments=4)
+        return label_ids
+
+    dt = chained_timeit(conn_step, (connj,), n_iters=8)
+    emit(config="connected", metric="connected_words_per_sec_per_chip",
+         value=round(n_conn * n_words / dt, 1),
+         unit="words/s/chip (multi-segment split + classify, 3-word clips)")
+
     # ---- bonus: linear-time-warp fast matcher ------------------------------
     @jax.jit
     def ltw(x, token):
