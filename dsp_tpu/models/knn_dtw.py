@@ -238,9 +238,19 @@ class KnnDtwRecognizer:
             bank, ids = self.device_bank()
 
             def score(flat):
-                label_ids, _ = pl.classify_features(
-                    flat, bank, ids, n_labels=len(self.labels), k=self.k,
-                    cfg=self.cfg)
+                # same matcher routing as classify_batch
+                if self.matcher == "ltw":
+                    label_ids, _ = pl.classify_features_ltw(
+                        flat, bank, ids, self.ltw_len)
+                elif self.matcher == "cascade":
+                    label_ids, _, _ = pl.classify_features_cascade(
+                        flat, bank, ids, self.shortlist, self.k,
+                        n_labels=len(self.labels), target_len=self.ltw_len,
+                        cfg=self.cfg)
+                else:
+                    label_ids, _ = pl.classify_features(
+                        flat, bank, ids, n_labels=len(self.labels),
+                        k=self.k, cfg=self.cfg)
                 return label_ids
 
         out, starts, ends, n_segs = pl.decode_connected(

@@ -212,6 +212,20 @@ class TestConnectedRecognition:
         assert starts.shape == (9, 32) and len(out) == 9
         assert (n_segs == 1).all()
 
+    def test_fast_matchers_route_through_connected(self, recognizer):
+        """classify_connected honors the recognizer's matcher setting
+        (ltw / cascade) exactly like classify_batch."""
+        clips = [synth_connected(["three", "seven"], 5),
+                 synth_connected(["one"], 6)]
+        want = recognizer.classify_connected(clips)
+        old = recognizer.matcher
+        try:
+            for matcher in ("ltw", "cascade"):
+                recognizer.matcher = matcher
+                assert recognizer.classify_connected(clips) == want, matcher
+        finally:
+            recognizer.matcher = old
+
     def test_mesh_connected_matches_single_device(self, recognizer):
         """Bank-sharded connected decoding must match the single-device
         path label-for-label (same flat segment features, classify via
