@@ -28,7 +28,13 @@ from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
 from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
 from dsp_tpu.models.streaming import StreamingRecognizer
 from dsp_tpu.models.vq import VqRecognizer
-from dsp_tpu.pipeline import Features, extract_features, classify_features, recognize_batch
+from dsp_tpu.pipeline import (
+    Features,
+    classify_features,
+    extract_features,
+    recognize_batch,
+    recognize_connected_batch,
+)
 
 __version__ = "0.1.0"
 
@@ -53,6 +59,7 @@ __all__ = [
     "PipelineConfig",
     "KnnDtwRecognizer", "GmmHmmRecognizer", "StreamingRecognizer",
     "VqRecognizer", "Features",
-    "extract_features", "classify_features", "recognize_batch", "extract_mfcc",
+    "extract_features", "classify_features", "recognize_batch",
+    "recognize_connected_batch", "extract_mfcc",
     "__version__",
 ]

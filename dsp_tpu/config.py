@@ -146,7 +146,11 @@ class DtwConfig:
     # impl "scan" and "fused_banded" (golden oracle: golden/dtw.py).
     slope: Optional[str] = None        # None | "itakura"
     squared: bool = False              # use squared Euclidean local cost
-    big: float = 1e30                  # finite "infinity" for masked cells
+    # The finite "infinity" for masked cells is the module constant
+    # ops/dtw.py:BIG (1e30) — deliberately NOT a config knob: the DP
+    # internals, the Pallas kernels, the golden oracle and the kNN
+    # dead-candidate threshold (pipeline.vote_topk, 1e20) all assume the
+    # same magnitude, so a per-config value would silently break masking.
     impl: str = "auto"                 # "auto" | "scan" (XLA) | "fused_banded" (Pallas window kernel) | "pallas" (wavefront) | "fused" (no HBM cost)
 
 

@@ -27,7 +27,15 @@ from dsp_tpu.ops.dtw import BIG, _minplus_combine, masked_cost
 
 
 def _dp_table(cost: jax.Array) -> jax.Array:
-    """Full DP table D [T, U] from a masked cost matrix (row min-plus scan)."""
+    """Full DP table D [T, U] from a masked cost matrix (row min-plus scan).
+
+    LOCKSTEP: this row recurrence (and _dp_tables_itakura below) must
+    stay bit-identical to ops/dtw.py's dtw_from_cost /
+    dtw_from_cost_itakura — the only difference is emitting every row
+    for the backtrace instead of harvesting one cell.  Any masking or
+    start-value change there must be mirrored here (the alignment
+    path-parity tests vs golden catch divergence).
+    """
     t, u = cost.shape
 
     def row_step(d_prev, inp):

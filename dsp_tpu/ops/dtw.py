@@ -136,8 +136,16 @@ def band_r2(len_a: jax.Array, len_b: jax.Array, band_frac: float) -> jax.Array:
 
 def masked_cost(a: jax.Array, b: jax.Array, len_a: jax.Array, len_b: jax.Array,
                 cfg: DtwConfig = DtwConfig(),
-                precision=jax.lax.Precision.HIGHEST) -> jax.Array:
-    """Local cost with length + optional Sakoe-Chiba band masking."""
+                precision=jax.lax.Precision.HIGHEST,
+                window_mask: jax.Array | None = None) -> jax.Array:
+    """Local cost with length + optional Sakoe-Chiba band masking.
+
+    ``window_mask`` overrides the window-schedule validity (a [T, U]
+    bool, True = inside).  The bidirectional split uses it to hand each
+    half-depth pass its slice of the FULL problem's schedule — computing
+    the schedule from the half's own row count would narrow the window
+    (plan_window scales with T) and silently mask in-band cells.
+    """
     sq = pairwise_sq_cost(a, b, precision)
     cost = sq if cfg.squared else jnp.sqrt(sq)
     t, u = cost.shape
@@ -149,8 +157,10 @@ def masked_cost(a: jax.Array, b: jax.Array, len_a: jax.Array, len_b: jax.Array,
         lbm1 = (len_b - 1).astype(jnp.int32)
         r2 = band_r2(len_a, len_b, cfg.band_frac)
         invalid = invalid | (jnp.abs(j.astype(jnp.int32) * lam1 - i * lbm1) > r2)
-        invalid = invalid | ~window_valid(t, u, len_a, len_b, r2, cfg)
-    return jnp.where(invalid, jnp.asarray(cfg.big, cost.dtype), cost)
+        if window_mask is None:
+            window_mask = window_valid(t, u, len_a, len_b, r2, cfg)
+        invalid = invalid | ~window_mask
+    return jnp.where(invalid, jnp.asarray(BIG, cost.dtype), cost)
 
 
 def window_offsets(t: int, u: int, len_a: jax.Array, len_b: jax.Array,
@@ -252,10 +262,29 @@ def dtw_distance_bidi(a: jax.Array, b: jax.Array,
     ])                                       # [2, n_rows, F] (tiny)
     b_rev = jnp.take(b, jnp.clip(len_b - 1 - idx_u, 0, u - 1), axis=0)
     b2 = jnp.stack([b, b_rev])               # [2, U, F]
+
+    # The rhombus band (band_r2, true lengths) is point-symmetric under
+    # (i, j) -> (len_a-1-i, len_b-1-j), so each half evaluates it
+    # correctly in its own coordinates.  The quantised window SCHEDULE
+    # is defined forward over the FULL row count (plan_window scales
+    # with T), so build it once on the full geometry and hand the
+    # forward half its row prefix and the backward half the
+    # point-reflected view — computing it per-half from n_rows would
+    # narrow the window and BIG-mask in-band cells (wrong distances).
+    if cfg.band_frac is not None and cfg.max_warp_scale is not None:
+        wv = window_valid(t, u, len_a, len_b,
+                          band_r2(len_a, len_b, cfg.band_frac), cfg)
+        wv_b = jnp.take(
+            jnp.take(wv, jnp.clip(len_a - 1 - idx_n, 0, t - 1), axis=0),
+            jnp.clip(len_b - 1 - idx_u, 0, u - 1), axis=1)
+        masks2 = jnp.stack([wv[:n_rows], wv_b])          # [2, n_rows, U]
+    else:
+        masks2 = jnp.ones((2, n_rows, u), dtype=bool)
     cost2 = jax.vmap(
-        lambda x, y: masked_cost(x, y, len_a, len_b, cfg, precision),
+        lambda x, y, m: masked_cost(x, y, len_a, len_b, cfg, precision,
+                                    window_mask=m),
         in_axes=0, out_axes=1,
-    )(a2, b2)                                # [n_rows, 2, U]
+    )(a2, b2, masks2)                        # [n_rows, 2, U]
 
     m2 = jnp.stack([m_f, m_r])               # [2]
 

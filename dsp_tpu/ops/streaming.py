@@ -36,7 +36,11 @@ from dsp_tpu.golden.vad import ZCR_ABS_FLOOR
 from dsp_tpu.ops import frontend as fe
 from dsp_tpu.ops import vad as jvad
 
-SIL, CAND, SPEECH = 0, 1, 2
+# The causal detector is a TWO-state machine (SIL / SPEECH); the classic
+# "candidate" middle state is subsumed by the run counters (run_high
+# must reach min_speech_frames before SIL -> SPEECH triggers), so no
+# third state value exists.
+SIL, SPEECH = 0, 2
 
 
 class StreamState(NamedTuple):
@@ -197,7 +201,10 @@ def process_chunk(state: StreamState, chunk: jax.Array,
 
     new_state = StreamState(
         prev_sample=buf[-r - 1],
-        residual=buf[-r:],
+        # NOT buf[-r:]: when r == 0 (frame_len == hop_len) that slice is
+        # the WHOLE buffer, so the carried residual would grow by
+        # chunk_len every chunk and re-emit stale frames forever
+        residual=buf[buf.shape[0] - r:],
         n_samples=state.n_samples + chunk_len,
         frame_idx=state.frame_idx + jnp.sum(frame_valid.astype(jnp.int32)),
         vad_state=vad_carry[0], noise_e=vad_carry[1], noise_z=vad_carry[2],

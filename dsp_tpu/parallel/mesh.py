@@ -41,8 +41,11 @@ def make_mesh(data: int | None = None, bank: int | None = None,
         data = n // bank
     elif bank is None:
         bank = n // data
-    if data * bank > n:
-        raise ValueError(f"mesh {data}x{bank} needs more than {n} devices")
+    # data/bank can round to 0 when one axis exceeds the device count —
+    # require both >= 1 so a misconfiguration fails HERE, not as a
+    # confusing empty-placement error downstream
+    if data < 1 or bank < 1 or data * bank > n:
+        raise ValueError(f"mesh {data}x{bank} invalid for {n} devices")
     arr = np.asarray(devices[: data * bank]).reshape(data, bank)
     return Mesh(arr, (DATA_AXIS, BANK_AXIS))
 

@@ -25,6 +25,8 @@ from dsp_tpu.utils.logging import get_logger
 
 log = get_logger("dsp_tpu.multihost")
 
+_initialized = False        # idempotency: initialize() is call-once
+
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
@@ -35,21 +37,29 @@ def initialize(coordinator_address: str | None = None,
     `jax.distributed.initialize` performs on Cloud TPU; arguments are
     passed through for manual clusters.
     """
-    if num_processes in (None, 1) and coordinator_address is None:
-        try:
-            already_multi = jax.process_count() > 1
-        except RuntimeError:
-            already_multi = False
-        if already_multi:
-            return
+    global _initialized
+    if _initialized:
+        return
+    if num_processes == 1:
+        # explicit single-process run: nothing to wire up
+        log.info("single-process run; distributed init skipped")
+        return
     if coordinator_address is None and num_processes is None:
-        # single host: nothing to wire up
-        if jax.process_count() == 1:
-            log.info("single-process run; distributed init skipped")
+        # Auto-detection path.  jax.distributed.initialize must run
+        # BEFORE anything initialises the XLA backend, so do NOT probe
+        # jax.process_count() first (it initialises the backend and the
+        # subsequent initialize() call then raises).
+        try:
+            jax.distributed.initialize()
+        except Exception as e:
+            log.info("distributed auto-init unavailable (%s); "
+                     "single-process run", e)
             return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    _initialized = True
     log.info("distributed: process %d/%d, %d global devices",
              jax.process_index(), jax.process_count(),
              len(jax.devices()))

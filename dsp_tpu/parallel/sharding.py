@@ -68,9 +68,12 @@ def classify_sharded(
     kk = max(1, k)
 
     def local(q, ql, b, bl, bv):
-        # q [Bl,T,F], b [Kl,U,F]; all other operands replicated
+        # q [Bl,T,F], b [Kl,U,F]; all other operands replicated.
+        # pl.dtw_pairs applies the SAME impl="auto" routing as the
+        # single-device classify, so the mesh path also runs the fused
+        # banded Pallas kernel on TPU (2x the scan) per shard.
         kl = b.shape[0]
-        d = jdtw.dtw_batch(q, ql, b, bl, cfg, precision)         # [Bl, Kl]
+        d = pl.dtw_pairs(q, ql, b, bl, cfg, precision)           # [Bl, Kl]
         d = jnp.where(bv[None, :], d, BIG)
         # per-shard top-k, then a tiny cross-shard gather of 2k
         # scalars/query/shard over ICI — never the full matrix

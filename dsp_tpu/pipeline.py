@@ -110,6 +110,47 @@ def extract_features(signals: jax.Array, n_samples: jax.Array,
     return jax.vmap(one)(signals, n_samples)
 
 
+def dtw_pairs(q_feats: jax.Array, q_lens: jax.Array,
+              bank_feats: jax.Array, bank_lens: jax.Array,
+              dtw_cfg, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """All-pairs DTW distances [B, K], routed to the production impl.
+
+    The ``impl="auto"`` routing shared by :func:`classify_features` and
+    the bank-sharded classify (parallel/sharding.py): the fused banded
+    Pallas kernel on TPU (identical distances to the scan — both
+    implement the windowed band, DtwConfig.max_warp_scale), the XLA
+    scan elsewhere.  Tiny problems stay on the scan: measured crossover
+    ~B*K 64 (B=1 x K=10: scan 3.0 ms vs kernel 3.7; B=8: kernel wins).
+    """
+    impl = dtw_cfg.impl
+    if impl == "auto":
+        n_pairs = q_feats.shape[0] * bank_feats.shape[0]
+        impl = ("fused_banded"
+                if (dtw_cfg.band_frac is not None
+                    and dtw_cfg.max_warp_scale is not None
+                    and n_pairs >= 64
+                    and jax.default_backend() == "tpu") else "scan")
+    if impl == "fused_banded":
+        from dsp_tpu.kernels.dtw_fused_banded import dtw_batch_fused_banded
+        return dtw_batch_fused_banded(q_feats, q_lens,
+                                      bank_feats, bank_lens, dtw_cfg)
+    if impl == "pallas":
+        from dsp_tpu.kernels.dtw_pallas import dtw_batch_pallas
+        from dsp_tpu.utils.logging import warn_once
+        warn_once("impl-pallas-wavefront",
+                  "DtwConfig.impl='pallas' selects the wavefront kernel, "
+                  "measured SLOWER than the scan and the fused banded "
+                  "kernel on TPU (docs/PERF.md); use impl='auto'")
+        return dtw_batch_pallas(q_feats, q_lens, bank_feats, bank_lens,
+                                dtw_cfg, precision)
+    if impl == "fused":
+        from dsp_tpu.kernels.dtw_fused import dtw_batch_fused
+        return dtw_batch_fused(q_feats, q_lens, bank_feats, bank_lens,
+                               dtw_cfg)
+    return jdtw.dtw_batch(q_feats, q_lens, bank_feats, bank_lens,
+                          dtw_cfg, precision)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "precision", "k", "n_labels"))
 def classify_features(feats: Features, bank: Features, bank_label_ids: jax.Array,
                       n_labels: int | None = None,
@@ -121,38 +162,8 @@ def classify_features(feats: Features, bank: Features, bank_label_ids: jax.Array
     k=1 is plain nearest-template; k>1 does kNN majority vote with
     distance-sum tie-breaking, all on device.
     """
-    impl = cfg.dtw.impl
-    if impl == "auto":
-        # fused banded kernel on TPU; identical distances to the scan —
-        # both implement the windowed band (DtwConfig.max_warp_scale).
-        # Tiny problems stay on the scan: measured crossover ~B*K 64
-        # (B=1 x K=10: scan 3.0 ms vs kernel 3.7; B=8: kernel wins)
-        n_pairs = feats.feats.shape[0] * bank.feats.shape[0]
-        impl = ("fused_banded"
-                if (cfg.dtw.band_frac is not None
-                    and cfg.dtw.max_warp_scale is not None
-                    and n_pairs >= 64
-                    and jax.default_backend() == "tpu") else "scan")
-    if impl == "fused_banded":
-        from dsp_tpu.kernels.dtw_fused_banded import dtw_batch_fused_banded
-        dists = dtw_batch_fused_banded(feats.feats, feats.length,
-                                       bank.feats, bank.length, cfg.dtw)
-    elif impl == "pallas":
-        from dsp_tpu.kernels.dtw_pallas import dtw_batch_pallas
-        from dsp_tpu.utils.logging import warn_once
-        warn_once("impl-pallas-wavefront",
-                  "DtwConfig.impl='pallas' selects the wavefront kernel, "
-                  "measured SLOWER than the scan and the fused banded "
-                  "kernel on TPU (docs/PERF.md); use impl='auto'")
-        dists = dtw_batch_pallas(feats.feats, feats.length,
-                                 bank.feats, bank.length, cfg.dtw, precision)
-    elif impl == "fused":
-        from dsp_tpu.kernels.dtw_fused import dtw_batch_fused
-        dists = dtw_batch_fused(feats.feats, feats.length,
-                                bank.feats, bank.length, cfg.dtw)
-    else:
-        dists = jdtw.dtw_batch(feats.feats, feats.length,
-                               bank.feats, bank.length, cfg.dtw, precision)
+    dists = dtw_pairs(feats.feats, feats.length, bank.feats, bank.length,
+                      cfg.dtw, precision)
     if k <= 1:
         best = jnp.argmin(dists, axis=-1)
         return jnp.take(bank_label_ids, best), dists

@@ -104,6 +104,28 @@ def test_dtw_bidi_exhaustive_tiny():
                                        err_msg=f"{ta},{tb}")
 
 
+def test_dtw_bidi_banded_asymmetric_matches_scan():
+    """Regression: with the default windowed band and padded T != U, the
+    bidi split must use the FULL problem's window schedule — computing
+    it from the halved row count narrowed the window, BIG-masked in-band
+    cells, and could return an exact 0.0 'perfect match'."""
+    rng = np.random.default_rng(11)
+    cfg = DtwConfig()          # band 0.17 + max_warp_scale 2.0 (windowed)
+    for t, u, la, lb in [(256, 128, 240, 125), (128, 256, 100, 256),
+                         (96, 40, 96, 40), (64, 64, 50, 37)]:
+        a = jnp.asarray(rng.standard_normal((t, 6)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((u, 6)).astype(np.float32))
+        want = float(jdtw.dtw_distance(a, b, jnp.asarray(la),
+                                       jnp.asarray(lb), cfg))
+        got = float(jdtw.dtw_distance_bidi(a, b, jnp.asarray(la),
+                                           jnp.asarray(lb), cfg))
+        if want > 1e19:
+            assert got > 1e19, (t, u, la, lb, got)
+        else:
+            np.testing.assert_allclose(got, want, rtol=1e-4,
+                                       err_msg=f"{t},{u},{la},{lb}")
+
+
 def test_dtw_bidi_batch_matches_scan():
     rng = np.random.default_rng(8)
     B, K, T, U, F = 3, 4, 25, 31, 13

@@ -52,6 +52,32 @@ def test_streaming_mfcc_equals_offline(chunk):
     np.testing.assert_allclose(got, want[: got.shape[0]], rtol=1e-3, atol=1e-3)
 
 
+def test_streaming_zero_residual_config():
+    """Regression: with frame_len == hop_len the per-chunk residual is
+    empty, and ``buf[-0:]`` is the WHOLE buffer — the carried residual
+    grew by chunk_len every chunk and stale frames were re-emitted.
+    The residual must stay empty and the frames must match offline."""
+    import dataclasses
+    fcfg = dataclasses.replace(FCFG, frame_len=160, hop_len=160)
+    chunk = 1600
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(8000).astype(np.float32)
+    mats = fe.make_matrices(fcfg)
+    want = np.asarray(fe.mfcc(jnp.asarray(x), fcfg, mats))
+
+    state = st.init_state(fcfg, chunk)
+    got = []
+    for c in range(len(x) // chunk):
+        state, out = st.process_chunk(
+            state, jnp.asarray(x[c * chunk:(c + 1) * chunk]), mats,
+            fcfg, VCFG, chunk)
+        assert state.residual.shape == (0,), state.residual.shape
+        got.append(np.asarray(out.mfcc)[np.asarray(out.frame_valid)])
+    got = np.concatenate(got)
+    assert got.shape[0] == want.shape[0]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
 def test_streaming_energy_zcr_match_offline():
     rng = np.random.default_rng(1)
     x = rng.standard_normal(8000).astype(np.float32)

@@ -78,3 +78,23 @@ def test_recognizer_maps_sentinel_to_no_match():
     rec = KnnDtwRecognizer()
     rec.labels = ["a", "b"]
     assert rec._ids_to_labels(np.asarray([1, -1, 0])) == ["b", NO_MATCH, "a"]
+
+
+def test_initialize_explicit_single_process_is_noop():
+    """Regression: initialize(num_processes=1) used to probe
+    jax.process_count() first, initialising the backend and making the
+    subsequent jax.distributed.initialize raise."""
+    multihost.initialize(num_processes=1, process_id=0)   # must not raise
+
+
+def test_make_mesh_rejects_oversubscription():
+    """Regression: an axis exceeding the device count rounded the other
+    axis to 0 and silently built an empty mesh."""
+    import pytest
+
+    from dsp_tpu import parallel as par
+
+    with pytest.raises(ValueError):
+        par.make_mesh(bank=1024)
+    with pytest.raises(ValueError):
+        par.make_mesh(data=1024)
