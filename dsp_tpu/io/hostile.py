@@ -8,7 +8,7 @@ adversarial counterpart whose errors are informative:
 
 * **35-class confusable vocabulary** — 7 base tone patterns x 5
   minimal-pair variants.  A variant differs from its base in exactly ONE
-  segment's frequency (x1.08) or duration (x1.35); classification must
+  segment's frequency (x1.12) or duration (x1.5); classification must
   resolve fine spectral/temporal contrasts, not gross pattern shape.
 * **Held-out speakers** — a "speaker" is a deterministic
   (formant_scale, tempo, gain) triple; enrollment and test speaker sets
@@ -83,7 +83,7 @@ def speaker_params(speaker: int):
     """(formant_scale, tempo, gain) for a deterministic synthetic speaker."""
     rng = np.random.default_rng(_fnv(f"hostile-spk{speaker}".encode()) % (2**32))
     # formant spread is deliberately comparable to the minimal-pair
-    # contrast (x1.08 on one segment): wide enough to hurt, narrow
+    # contrast (x1.12 on one segment): wide enough to hurt, narrow
     # enough that the contrast stays resolvable (clean held-out ~0.9;
     # at (0.85, 1.15) the task collapsed to 0.26 — see docs/RESULTS.md)
     return (float(rng.uniform(0.94, 1.06)),   # vocal-tract length analog

@@ -68,7 +68,10 @@ def available() -> bool:
     try:
         get_lib()
         return True
-    except NativeUnavailable:
+    except (NativeUnavailable, OSError):
+        # OSError: ctypes.CDLL on an incompatible/corrupt .so (different
+        # arch/glibc than the prebuilt artifact) — degrade to the pure-
+        # Python loader exactly like a missing library
         return False
 
 

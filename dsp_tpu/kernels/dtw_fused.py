@@ -41,13 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dsp_tpu.config import DtwConfig
 from dsp_tpu.ops.dtw import BIG
+from dsp_tpu.window_plan import LANE, round_up as _round_up
 
-LANE = 128
 QUERY_TILE = 40
 
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _fused_kernel(lb_sref, qf_ref, bf_ref, la_ref, out_ref,

@@ -40,14 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dsp_tpu.config import DtwConfig
 from dsp_tpu.ops.dtw import BIG, masked_cost
+from dsp_tpu.window_plan import LANE, round_up as _round_up
 
 PAIR_TILE = 256
-LANE = 128
 DIAG_BLOCK = 8          # diagonals fetched per grid step (sublane tile)
 
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def skew_cost(cost: jax.Array, big: float = BIG) -> jax.Array:

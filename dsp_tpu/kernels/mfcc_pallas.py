@@ -34,13 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dsp_tpu.config import FrontendConfig
 from dsp_tpu.ops.frontend import _matrices_np
+from dsp_tpu.window_plan import LANE, round_up as _round_up
 
 TILE_N = 256           # frames per grid step
-LANE = 128
 
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 @functools.lru_cache(maxsize=8)
@@ -109,7 +106,10 @@ def mfcc_frames_pallas(frames: jax.Array,
                          "FrontendConfig.denoise (needs a cross-frame "
                          "noise estimate); use impl='xla'")
     n, l = frames.shape
-    assert l == cfg.frame_len
+    if l != cfg.frame_len:
+        raise ValueError(f"frames width {l} != cfg.frame_len "
+                         f"{cfg.frame_len} — framed under a different "
+                         "FrontendConfig?")
     win, cos, sin, mel, dct, lift, kb, mm, cc = _padded_constants(cfg)
     n_pad = _round_up(max(n, 1), TILE_N)
     if n_pad != n:

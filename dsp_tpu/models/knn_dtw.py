@@ -133,6 +133,12 @@ class KnnDtwRecognizer:
         T, U] DTW cost memory on device.
         """
         if self.mesh is not None:
+            if self.matcher != "dtw":
+                raise ValueError(
+                    f"matcher={self.matcher!r} is not supported with a "
+                    "mesh — bank-sharded classification implements the "
+                    "full banded DTW only (clear the mesh or use "
+                    "matcher='dtw')")
             return self._classify_sharded(signals, return_distances)
         if len(signals) > chunk:
             labels, dists = [], []
@@ -233,6 +239,12 @@ class KnnDtwRecognizer:
         like ``classify_batch``.
         """
         if self.mesh is not None:
+            if self.matcher != "dtw":
+                raise ValueError(
+                    f"matcher={self.matcher!r} is not supported with a "
+                    "mesh — bank-sharded classification implements the "
+                    "full banded DTW only (clear the mesh or use "
+                    "matcher='dtw')")
             score = self._score_flat_sharded
         else:
             bank, ids = self.device_bank()

@@ -71,7 +71,9 @@ class StreamingRecognizer:
             end = int(np.asarray(out.utt_end_idx)[t])
             end = min(end, self._offset + len(self._frames))
             if end - start >= min_frames:
-                events.append(self._classify(start, end))
+                ev = self._classify(start, end)
+                if ev is not None:
+                    events.append(ev)
         self._trim_history()
         return events
 
@@ -79,6 +81,11 @@ class StreamingRecognizer:
         # global frame indices -> positions in the trimmed history window
         lo = max(start - self._offset, 0)
         hi = max(end - self._offset, lo)
+        if hi <= lo:
+            # utterance fell entirely behind the trimmed history window
+            # (history_frames < the VAD's silence+hangover horizon) —
+            # nothing classifiable; callers drop the None event
+            return None
         seg = np.stack(self._frames[lo:hi])                   # [T', n_mfcc]
         t_max = self.cfg.max_frames
         padded = np.zeros((t_max, seg.shape[1]), dtype=np.float32)
@@ -95,8 +102,22 @@ class StreamingRecognizer:
         feats = jnp.where((jnp.arange(t_max) < length)[:, None], feats, 0.0)
         query = pl.Features(feats[None], length[None])
         bank, ids = self.rec.device_bank()
-        label_ids, dists = pl.classify_features(query, bank, ids, cfg=self.cfg)
-        label = self.rec._ids_to_labels(label_ids)[0]
+        # same matcher routing and kNN vote as the offline recognizer,
+        # so a streamed utterance and classify_batch of the identical
+        # frames agree (the class docstring's parity promise)
+        r = self.rec
+        if r.matcher == "ltw":
+            label_ids, _ = pl.classify_features_ltw(query, bank, ids,
+                                                    r.ltw_len)
+        elif r.matcher == "cascade":
+            label_ids, _, _ = pl.classify_features_cascade(
+                query, bank, ids, r.shortlist, r.k,
+                n_labels=len(r.labels), target_len=r.ltw_len, cfg=self.cfg)
+        else:
+            label_ids, _ = pl.classify_features(
+                query, bank, ids, n_labels=len(r.labels), k=r.k,
+                cfg=self.cfg)
+        label = r._ids_to_labels(label_ids)[0]
         return label, start, end
 
     def flush(self):
@@ -105,5 +126,6 @@ class StreamingRecognizer:
             start = int(np.asarray(self.state.utt_start))
             end = self._offset + len(self._frames)
             if end - start >= self.cfg.vad.min_utterance_frames:
-                return [self._classify(start, end)]
+                ev = self._classify(start, end)
+                return [ev] if ev is not None else []
         return []

@@ -37,8 +37,6 @@ from dsp_tpu import pipeline as pl
 from dsp_tpu.config import PipelineConfig, VqConfig
 from dsp_tpu.ops import frontend as fe
 
-BIG = 1e30
-
 
 def _sq_dists(x: jax.Array, cb: jax.Array,
               precision=jax.lax.Precision.HIGHEST) -> jax.Array:

@@ -135,6 +135,48 @@ def test_streaming_recognizer_two_words():
     assert got == ["zero", "two"], events
 
 
+def test_streaming_honors_matcher_and_k():
+    """Regression: _classify always used plain 1-NN full DTW; it must
+    route through the wrapped recognizer's matcher and kNN vote."""
+    labels = ["zero", "one", "two"]
+    rec = KnnDtwRecognizer(PipelineConfig(), k=3)
+    for lab in labels:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(3)])
+
+    rng = np.random.default_rng(5)
+    sig = 0.002 * rng.standard_normal(16000 * 3)
+    w = synth_word("one", 70, max_samples=24000)
+    sig[8000:8000 + len(w)] += w
+    sig = sig.astype(np.float32)
+
+    for matcher in ("dtw", "ltw", "cascade"):
+        rec.matcher = matcher
+        stream = StreamingRecognizer(rec, CHUNK)
+        events = []
+        for c in range(len(sig) // CHUNK):
+            events += stream.feed(sig[c * CHUNK:(c + 1) * CHUNK])
+        events += stream.flush()
+        assert [e[0] for e in events] == ["one"], (matcher, events)
+    rec.matcher = "dtw"
+
+
+def test_streaming_tiny_history_drops_stale_events():
+    """Regression: an utterance end landing behind a trimmed tiny
+    history window crashed np.stack([]) instead of dropping the event."""
+    rec = KnnDtwRecognizer(PipelineConfig())
+    for lab in ("zero", "one"):
+        rec.enroll(lab, [synth_word(lab, i) for i in range(2)])
+    rng = np.random.default_rng(6)
+    sig = 0.002 * rng.standard_normal(16000 * 4)
+    w = synth_word("zero", 80, max_samples=24000)
+    sig[8000:8000 + len(w)] += w
+    sig = sig.astype(np.float32)
+    stream = StreamingRecognizer(rec, CHUNK, history_frames=5)
+    for c in range(len(sig) // CHUNK):
+        stream.feed(sig[c * CHUNK:(c + 1) * CHUNK])   # must not raise
+    stream.flush()
+
+
 def test_batched_streams_match_individual():
     """S concurrent streams in one call == S independent streams."""
     import jax

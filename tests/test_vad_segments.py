@@ -226,6 +226,23 @@ class TestConnectedRecognition:
         finally:
             recognizer.matcher = old
 
+    def test_mesh_rejects_fast_matchers(self, recognizer):
+        """A mesh only implements the full banded DTW; silently ignoring
+        a configured ltw/cascade matcher (as it used to) diverges from
+        the meshless recognizer — it must raise instead."""
+        from dsp_tpu import parallel as par
+
+        recognizer.mesh = par.make_mesh(4, 2)
+        recognizer.matcher = "ltw"
+        try:
+            with pytest.raises(ValueError):
+                recognizer.classify_batch([synth_connected(["one"], 6)])
+            with pytest.raises(ValueError):
+                recognizer.classify_connected([synth_connected(["one"], 6)])
+        finally:
+            recognizer.mesh = None
+            recognizer.matcher = "dtw"
+
     def test_mesh_connected_matches_single_device(self, recognizer):
         """Bank-sharded connected decoding must match the single-device
         path label-for-label (same flat segment features, classify via
