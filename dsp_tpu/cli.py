@@ -83,13 +83,20 @@ def _add_common(p: argparse.ArgumentParser):
                    help="DTW local slope constraint (itakura: steps "
                         "{(1,0),(1,1),(1,2)}, no repeated (1,0); length "
                         "ratios > 2 become unreachable)")
-    p.add_argument("--k", type=int, default=1, help="kNN votes")
+    # k / matcher / shortlist default to None sentinels so "flag passed"
+    # is distinguishable from "default": evaluate/recognize/serve only
+    # override a checkpoint's ENROLLED values when the user actually
+    # asked (previously the argparse defaults silently clobbered them)
+    p.add_argument("--k", type=int, default=None, help="kNN votes "
+                   "(default: the checkpoint's enrolled value, else 1)")
     p.add_argument("--matcher", choices=["dtw", "ltw", "cascade"],
-                   default="dtw",
+                   default=None,
                    help="cascade = LTW shortlist -> DTW rerank (faster on "
-                        "large banks, near-exact)")
-    p.add_argument("--shortlist", type=int, default=8,
-                   help="cascade: DTW-rerank candidates per query")
+                        "large banks, near-exact); default: the "
+                        "checkpoint's enrolled value, else dtw")
+    p.add_argument("--shortlist", type=int, default=None,
+                   help="cascade: DTW-rerank candidates per query "
+                        "(default: enrolled value, else 8)")
     p.add_argument("--metrics-out", default=None,
                    help="write run metrics JSON to this path")
     p.add_argument("--mesh", action="store_true",
@@ -120,6 +127,17 @@ def _load_corpus(path: str, sr: int):
     if not corpus:
         raise SystemExit(f"no <label>/*.wav found under {path}")
     return corpus
+
+
+def _apply_matcher_flags(rec, args):
+    """Apply --k/--matcher/--shortlist ONLY when explicitly passed
+    (None sentinels keep the checkpoint's enrolled configuration)."""
+    if getattr(args, "k", None) is not None:
+        rec.k = args.k
+    if getattr(args, "matcher", None) is not None:
+        rec.matcher = args.matcher
+    if getattr(args, "shortlist", None) is not None:
+        rec.shortlist = args.shortlist
 
 
 def cmd_make_corpus(args):
@@ -183,8 +201,9 @@ def cmd_make_corpus(args):
 def cmd_enroll(args):
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
     cfg = _pipeline_cfg(args)
-    rec = KnnDtwRecognizer(cfg, k=args.k, matcher=args.matcher,
-                           shortlist=args.shortlist)
+    rec = KnnDtwRecognizer(cfg, k=args.k or 1,
+                           matcher=args.matcher or "dtw",
+                           shortlist=args.shortlist or 8)
     corpus = _load_corpus(args.corpus, args.sr)
     for lab, sigs in sorted(corpus.items()):
         rec.enroll(lab, sigs)
@@ -199,8 +218,7 @@ def cmd_recognize(args):
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
     cfg = _pipeline_cfg(args)
     rec = KnnDtwRecognizer.load(args.bank, cfg)
-    if args.k != rec.k:                 # --k overrides the enrolled value
-        rec.k = args.k
+    _apply_matcher_flags(rec, args)
     sigs = [read_wav(p, cfg.frontend.sample_rate)[1] for p in args.wavs]
     if getattr(args, "connected", False):
         seqs = rec.classify_connected(sigs, max_segments=args.max_segments)
@@ -217,11 +235,7 @@ def cmd_evaluate(args):
     cfg = _pipeline_cfg(args)
     rec = KnnDtwRecognizer.load(args.bank, cfg)
     rec.mesh = _maybe_mesh(args)
-    if args.k != rec.k:                 # --k overrides the enrolled value
-        rec.k = args.k
-    if args.matcher != rec.matcher:
-        rec.matcher = args.matcher
-        rec.shortlist = args.shortlist
+    _apply_matcher_flags(rec, args)
     corpus = _load_corpus(args.corpus, args.sr)
     metrics = RunMetrics("evaluate")
     if getattr(args, "compile_timeout", 0) > 0 and rec.mesh is None:
@@ -232,6 +246,10 @@ def cmd_evaluate(args):
         result = run_with_deadline(rec.evaluate, (corpus,),
                                    timeout_s=args.compile_timeout)
     else:
+        if getattr(args, "compile_timeout", 0) > 0:
+            log.warning("--compile-timeout is ignored with --mesh (a "
+                        "device mesh cannot be shipped to the deadline "
+                        "child); running without a deadline")
         result = rec.evaluate(corpus)
     metrics.record(accuracy=result["accuracy"], n=result["n"],
                    bank_size=rec.n_templates, config=cfg)
@@ -254,8 +272,7 @@ def cmd_evaluate_connected(args):
     if args.bank:
         from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
         rec = KnnDtwRecognizer.load(args.bank, cfg)
-        if args.k != rec.k:
-            rec.k = args.k
+        _apply_matcher_flags(rec, args)
     elif args.hmm:
         from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
         rec = GmmHmmRecognizer.load(args.hmm, cfg)
@@ -305,8 +322,7 @@ def cmd_serve(args):
 
     cfg = _pipeline_cfg(args)
     rec = KnnDtwRecognizer.load(args.bank, cfg)
-    if args.k != rec.k:
-        rec.k = args.k
+    _apply_matcher_flags(rec, args)
     print("ready", flush=True)
     for line in sys.stdin:
         line = line.strip()
@@ -399,31 +415,49 @@ def cmd_warm(args):
     import time as _time
 
     from dsp_tpu.io.dataset import DIGITS, synth_word
-    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
     from dsp_tpu.utils.relay import run_with_deadline
 
+    # The parent touches NO jax here — even constructing a recognizer
+    # builds device constants (make_matrices), and bank enrollment
+    # compiles the extraction pipeline; during a relay stall either
+    # would hang the parent with no deadline, the exact failure this
+    # command exists to bound.  All of it runs in the deadline child
+    # (_warm_batch); compiles land in the persistent cache either way.
     cfg = _pipeline_cfg(args)
-    if args.bank:
-        rec = KnnDtwRecognizer.load(args.bank, cfg)
-    else:
-        rec = KnnDtwRecognizer(cfg, k=args.k, matcher=args.matcher,
-                               shortlist=args.shortlist)
-        per = max(1, -(-args.bank_size // len(DIGITS)))
-        for lab in DIGITS:
-            rec.enroll(lab, [synth_word(lab, i, max_samples=cfg.max_samples)
-                             for i in range(per)])
     batches = sorted({int(b) for b in args.batches.split(",") if b.strip()})
     t0 = _time.perf_counter()
     for b in batches:
         sigs = [synth_word(DIGITS[i % len(DIGITS)], 7000 + i,
                            max_samples=cfg.max_samples) for i in range(b)]
         t1 = _time.perf_counter()
-        run_with_deadline(rec.classify_batch, (sigs,),
-                          timeout_s=args.timeout, retries=args.retries)
-        print(f"warm: batch={b} bank={rec.n_templates} matcher={rec.matcher} "
-              f"k={rec.k} ({_time.perf_counter() - t1:.1f}s)", flush=True)
+        n_templates, matcher, k = run_with_deadline(
+            _warm_batch,
+            (args.bank, cfg, args.bank_size, args.k, args.matcher,
+             args.shortlist, sigs),
+            timeout_s=args.timeout, retries=args.retries)
+        print(f"warm: batch={b} bank={n_templates} matcher={matcher} "
+              f"k={k} ({_time.perf_counter() - t1:.1f}s)", flush=True)
     print(f"warm: done in {_time.perf_counter() - t0:.1f}s — runs at these "
           f"shapes now hit the persistent compilation cache")
+
+
+def _warm_batch(bank_path, cfg, bank_size, k, matcher, shortlist, sigs):
+    """cmd_warm's child target: bank construction (incl. enrollment
+    extraction compiles) + the real classify, all inside the deadline."""
+    from dsp_tpu.io.dataset import DIGITS, synth_word
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    if bank_path:
+        rec = KnnDtwRecognizer.load(bank_path, cfg)
+    else:
+        rec = KnnDtwRecognizer(cfg, k=k or 1, matcher=matcher or "dtw",
+                               shortlist=shortlist or 8)
+        per = max(1, -(-bank_size // len(DIGITS)))
+        for lab in DIGITS:
+            rec.enroll(lab, [synth_word(lab, i, max_samples=cfg.max_samples)
+                             for i in range(per)])
+    rec.classify_batch(sigs)
+    return rec.n_templates, rec.matcher, rec.k
 
 
 def cmd_evaluate_sc2(args):
@@ -438,6 +472,11 @@ def cmd_evaluate_sc2(args):
 
     args.max_samples = min(args.max_samples, 16000)   # SC2 clips are <= 1 s
     cfg = _pipeline_cfg(args)
+    k = args.k or 1
+    if args.matcher not in (None, "dtw"):
+        raise SystemExit("evaluate-sc2 implements the full banded DTW "
+                         "only; --matcher ltw/cascade is not supported "
+                         "here (use `evaluate` on a corpus directory)")
     mats = fe_ops.make_matrices(cfg.frontend)
     metrics = RunMetrics("evaluate-sc2")
 
@@ -483,7 +522,14 @@ def cmd_evaluate_sc2(args):
         if use_mesh:
             qd, qld = par.shard_queries(mesh, sigs, lens)
             got, _ = par.recognize_sharded(mesh, qd, qld, mats, bf, bl, idsd,
-                                           bv, cfg=cfg)
+                                           bv, cfg=cfg, k=k,
+                                           n_labels=len(labels))
+        elif k > 1:
+            feats = pl.extract_features(jnp.asarray(sigs),
+                                        jnp.asarray(lens), mats, cfg)
+            got, _ = pl.classify_features(feats, bank, jnp.asarray(tr_ids),
+                                          n_labels=len(labels), k=k,
+                                          cfg=cfg)
         else:
             got, _ = pl.recognize_batch(jnp.asarray(sigs), jnp.asarray(lens),
                                         mats, bank, jnp.asarray(tr_ids), cfg)
@@ -528,6 +574,7 @@ def cmd_demo(args):
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
     from dsp_tpu.models.streaming import StreamingRecognizer
     cfg = _pipeline_cfg(args)
+    period = cfg.frontend.hop_len / cfg.frontend.sample_rate
     rec = KnnDtwRecognizer.load(args.bank, cfg)
     stream = StreamingRecognizer(rec, chunk_len=args.chunk)
 
@@ -542,10 +589,10 @@ def cmd_demo(args):
     n = len(sig) // args.chunk
     for c in range(n):
         for lab, s, e in stream.feed(sig[c * args.chunk:(c + 1) * args.chunk]):
-            t0, t1 = s * 0.010, e * 0.010
+            t0, t1 = s * period, e * period
             print(f"[{t0:7.2f}s - {t1:7.2f}s] {lab}")
     for lab, s, e in stream.flush():
-        print(f"[{s * 0.010:7.2f}s - {e * 0.010:7.2f}s] {lab} (flush)")
+        print(f"[{s * period:7.2f}s - {e * period:7.2f}s] {lab} (flush)")
 
 
 def _synth_stream(labels, n_words: int = 5, seed: int = 7):
@@ -568,6 +615,8 @@ def _synth_stream(labels, n_words: int = 5, seed: int = 7):
 
 
 def _demo_mic(stream, args):
+    period = (stream.cfg.frontend.hop_len
+              / stream.cfg.frontend.sample_rate)
     try:
         import pyaudio  # noqa: F401  (not in this image; gated like the ref's recorder)
     except ImportError:
@@ -585,7 +634,7 @@ def _demo_mic(stream, args):
             raw = h.read(args.chunk)
             x = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
             for lab, s, e in stream.feed(x):
-                print(f"[{s * 0.010:7.2f}s - {e * 0.010:7.2f}s] {lab}")
+                print(f"[{s * period:7.2f}s - {e * period:7.2f}s] {lab}")
     except KeyboardInterrupt:
         pass
     finally:

@@ -51,7 +51,6 @@ def _extract_one(x: jax.Array, n_samples: jax.Array, mats: fe.FrontendMatrices,
     batch-wise outside the vmap); None computes them here in XLA.
     """
     f = cfg.frontend
-    t_max = cfg.max_frames
 
     if c is None:
         if f.feature_type == "lpcc":
@@ -181,6 +180,7 @@ def knn_vote(dists: jax.Array, bank_label_ids: jax.Array,
     epsilon-blend score silently flips the vote order once distance sums
     grow ~1e6x past the vote gap.
     """
+    k = min(k, dists.shape[-1])     # lax.top_k rejects k > bank size
     _, top_idx = jax.lax.top_k(-dists, k)                     # [B, k]
     top_labels = jnp.take(bank_label_ids, top_idx)            # [B, k]
     top_d = jnp.take_along_axis(dists, top_idx, axis=1)       # [B, k]

@@ -96,6 +96,34 @@ def test_make_corpus_connected_and_evaluate(tmp_path, capsys):
                   "--bank", bank, "--vq", vq])
 
 
+def test_flag_sentinels_preserve_enrolled_config(corpus_dir, tmp_path,
+                                                 capsys):
+    """Regression: argparse defaults used to clobber a checkpoint's
+    enrolled k/matcher on every evaluate/recognize (no way to tell
+    'flag passed' from 'default'); None sentinels fix that."""
+    import argparse
+
+    from dsp_tpu.cli import _apply_matcher_flags
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    bank = str(tmp_path / "bank3.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank, "--k", "3", "--matcher", "cascade"])
+    rec = KnnDtwRecognizer.load(bank)
+    assert rec.k == 3 and rec.matcher == "cascade"
+    _apply_matcher_flags(rec, argparse.Namespace(k=None, matcher=None,
+                                                shortlist=None))
+    assert rec.k == 3 and rec.matcher == "cascade"   # untouched
+    _apply_matcher_flags(rec, argparse.Namespace(k=1, matcher="dtw",
+                                                shortlist=None))
+    assert rec.k == 1 and rec.matcher == "dtw"       # explicit override
+    # oversized --k must clamp inside the vote, not crash lax.top_k
+    cli.main(["evaluate", "--corpus", os.path.join(corpus_dir, "test"),
+              "--bank", bank, "--k", "50"])
+    out = capsys.readouterr().out
+    assert "accuracy:" in out
+
+
 def test_serve_loop(corpus_dir, tmp_path, capsys, monkeypatch):
     import io
 
