@@ -69,7 +69,10 @@ def main():
     # query utterances: distinct signals per chunk (blocking per chunk —
     # identical queued executions can be deduped by the runtime)
     rng = np.random.default_rng(0)
-    n_chunks = max(1, n_utts // chunk)
+    n_chunks = max(1, round(n_utts / chunk))
+    if n_chunks * chunk != n_utts:
+        print(f"# note: BENCH_UTTS {n_utts} rounded to {n_chunks * chunk} "
+              f"(whole chunks of {chunk})", file=sys.stderr)
     chunks = []
     for c in range(n_chunks):
         q_sigs = np.stack([

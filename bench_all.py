@@ -16,7 +16,6 @@ Configs (BASELINE.json `configs`):
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -35,7 +34,7 @@ def main():
 
     enable_compilation_cache()
     from dsp_tpu import pipeline as pl
-    from dsp_tpu.config import HmmConfig, PipelineConfig
+    from dsp_tpu.config import PipelineConfig
     from dsp_tpu.io.dataset import DIGITS, synth_word
     from dsp_tpu.models import gmm_hmm as gh
     from dsp_tpu.ops import frontend as fe
@@ -102,7 +101,6 @@ def main():
          value=round(0.1 / dt, 1), unit="x realtime (100ms chunks)")
 
     # ---- config 3: GMM-HMM Viterbi decode ----------------------------------
-    hcfg = HmmConfig(n_states=5, n_mix=3)
     rng = np.random.default_rng(0)
     W, S, M, F = 10, 5, 3, cfg.frontend.n_feats
     params = gh.HmmParams(
@@ -128,7 +126,8 @@ def main():
     root = os.environ.get("SC2_ROOT")
     words35 = [f"w{i:02d}" for i in range(35)]
     if root:
-        emit(config=4, note="run `python -m dsp_tpu evaluate-sc2 --root ...`")
+        emit(config="4-note",
+             note="real SC2 data detected: run `python -m dsp_tpu evaluate-sc2 --root ...` for the real-data accuracy/throughput; the line below is the synthetic stand-in")
     bank35, ids35 = make_bank(words35, 3)   # 105 templates, 35 classes
 
     @jax.jit

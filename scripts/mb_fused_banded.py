@@ -5,7 +5,11 @@ Times kernels/dtw_fused_banded.py at the PERF.md reference workload
 QUERY_TILE settings and cost variants, using the chained-dependency
 harness (utils/timing.py) so relay latency is paid once.
 
-Usage:  python scripts/mb_fused_banded.py [--pairs-scale N]
+Usage:  python scripts/mb_fused_banded.py [--b 256 --k 100 --qt 256]
+
+NOTE: the kernel caps its query tile at round_up(--b, 16), so QT rows
+above the batch size are duplicates of the capped tile — sweep QT=256
+with --b >= 256 (rows print the EFFECTIVE tile).
 """
 
 from __future__ import annotations
@@ -62,6 +66,10 @@ def main():
             if args.variant and args.variant not in name:
                 continue
             fb.QUERY_TILE = qt
+            # the kernel caps the tile at round_up(b, 16) — label rows
+            # with the EFFECTIVE tile so capped rows are not mistaken
+            # for the requested one (module docstring)
+            eff = max(16, min(qt, -(-args.b // 16) * 16))
             fb._ABLATE = args.ablate
             fb._STAGED_EXTRACT = args.staged
 
@@ -73,10 +81,11 @@ def main():
                 sec = chained_timeit(step, (q, ql, bank, bl),
                                      n_iters=args.iters)
             except Exception as e:  # noqa: BLE001
-                print(f"QT={qt:4d} {name:14s} FAILED: {type(e).__name__}: "
-                      f"{str(e)[:120]}")
+                print(f"QT={qt:4d}(eff {eff:3d}) {name:14s} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:120]}")
                 continue
-            print(f"QT={qt:4d} {name:14s} {sec * 1e3:7.1f} ms "
+            print(f"QT={qt:4d}(eff {eff:3d}) {name:14s} "
+                  f"{sec * 1e3:7.1f} ms "
                   f"({pairs / sec / 1e3:8.0f}k pairs/s)")
 
 

@@ -15,9 +15,10 @@ Run: python scripts/mb_wavefront.py
 """
 
 import functools
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

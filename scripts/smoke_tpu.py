@@ -49,7 +49,11 @@ def main():
         failures += 0 if ok else 1
 
     def knn(impl):
-        rec = KnnDtwRecognizer(PipelineConfig(dtw=DtwConfig(impl=impl)))
+        # the unbanded fused kernel rejects a band (kernels/dtw_fused.py);
+        # the other impls exercise the shipped band default
+        band = None if impl == "fused" else DtwConfig.band_frac
+        rec = KnnDtwRecognizer(
+            PipelineConfig(dtw=DtwConfig(impl=impl, band_frac=band)))
         for lab in labels:
             rec.enroll(lab, train[lab])
         return rec.evaluate(test)["accuracy"]
