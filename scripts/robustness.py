@@ -56,7 +56,7 @@ def main():
     # channel gain mismatch: train at unit gain, test at 0.25x
     quiet = {lab: [(0.25 * x).astype(np.float32) for x in sigs]
              for lab, sigs in test.items()}
-    plain = build(cmn=False).evaluate(quiet)["accuracy"]
+    plain = recs["kNN-DTW"].evaluate(quiet)["accuracy"]   # cmn=False default
     cmn = build(cmn=True).evaluate(quiet)["accuracy"]
     print()
     print("| test condition | no CMN | with CMN |")
