@@ -143,6 +143,11 @@ def _apply_matcher_flags(rec, args):
 def cmd_make_corpus(args):
     from dsp_tpu.io.dataset import DIGITS, make_corpus
     from dsp_tpu.io.wav import write_wav
+    if args.words is None:
+        # unset --words tracks the corpus family: the hostile corpus is
+        # DEFINED by its full 35-class confusable vocabulary (ADVICE
+        # round 3: inheriting the digit default of 10 silently shrank it)
+        args.words = 35 if getattr(args, "hostile", False) else 10
     if getattr(args, "hostile", False):
         if args.connected > 0:
             raise SystemExit("make-corpus: --connected is built from the "
@@ -221,7 +226,10 @@ def cmd_recognize(args):
     _apply_matcher_flags(rec, args)
     sigs = [read_wav(p, cfg.frontend.sample_rate)[1] for p in args.wavs]
     if getattr(args, "connected", False):
-        seqs = rec.classify_connected(sigs, max_segments=args.max_segments)
+        seqs = rec.classify_connected(
+            sigs, max_segments=args.max_segments,
+            method=getattr(args, "connected_method", "vad"),
+            word_penalty=getattr(args, "word_penalty", 0.0))
         for path, seq in zip(args.wavs, seqs):
             print(f"{path}\t{' '.join(seq)}")
         return
@@ -230,29 +238,58 @@ def cmd_recognize(args):
         print(f"{path}\t{lab}")
 
 
-def cmd_evaluate(args):
+def _evaluate_child(bank_path, cfg, k, matcher, shortlist, corpus):
+    """cmd_evaluate's deadline-child target: recognizer LOAD (which
+    builds device-resident FrontendMatrices) + evaluate, all inside the
+    deadline.  The parent ships only host data — loading in the parent
+    and pickling the live recognizer would fetch jax arrays through a
+    possibly-stalled relay BEFORE the deadline machinery starts (ADVICE
+    round 3), the failure mode --compile-timeout exists to bound."""
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    rec = KnnDtwRecognizer.load(bank_path, cfg)
+    if k is not None:
+        rec.k = k
+    if matcher is not None:
+        rec.matcher = matcher
+    if shortlist is not None:
+        rec.shortlist = shortlist
+    result = rec.evaluate(corpus)
+    result["bank_size"] = rec.n_templates
+    return result
+
+
+def cmd_evaluate(args):
     cfg = _pipeline_cfg(args)
-    rec = KnnDtwRecognizer.load(args.bank, cfg)
-    rec.mesh = _maybe_mesh(args)
-    _apply_matcher_flags(rec, args)
-    corpus = _load_corpus(args.corpus, args.sr)
+    corpus = _load_corpus(args.corpus, args.sr)   # host-side IO, no jax
     metrics = RunMetrics("evaluate")
-    if getattr(args, "compile_timeout", 0) > 0 and rec.mesh is None:
-        # relay-stall hardening (ROADMAP #12): the child does the real
-        # work under a deadline (compiles land in the persistent cache,
-        # so a retry resumes warm) and ships the result dict back
+    use_deadline = getattr(args, "compile_timeout", 0) > 0 \
+        and not getattr(args, "mesh", None)
+    if use_deadline:
+        # relay-stall hardening (ROADMAP #12): the parent touches NO jax
+        # — the child loads the bank and evaluates under the deadline
+        # (compiles land in the persistent cache, so a retry resumes
+        # warm) and ships the result dict back (mirrors cmd_warm)
         from dsp_tpu.utils.relay import run_with_deadline
-        result = run_with_deadline(rec.evaluate, (corpus,),
-                                   timeout_s=args.compile_timeout)
+        result = run_with_deadline(
+            "dsp_tpu.cli:_evaluate_child",
+            (args.bank, cfg, getattr(args, "k", None),
+             getattr(args, "matcher", None), getattr(args, "shortlist", None),
+             corpus),
+            timeout_s=args.compile_timeout)
+        bank_size = result.pop("bank_size")
     else:
         if getattr(args, "compile_timeout", 0) > 0:
             log.warning("--compile-timeout is ignored with --mesh (a "
                         "device mesh cannot be shipped to the deadline "
                         "child); running without a deadline")
+        from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+        rec = KnnDtwRecognizer.load(args.bank, cfg)
+        rec.mesh = _maybe_mesh(args)
+        _apply_matcher_flags(rec, args)
         result = rec.evaluate(corpus)
+        bank_size = rec.n_templates
     metrics.record(accuracy=result["accuracy"], n=result["n"],
-                   bank_size=rec.n_templates, config=cfg)
+                   bank_size=bank_size, config=cfg)
     print(json.dumps(result["confusion"], indent=2, sort_keys=True))
     print(f"accuracy: {result['accuracy']:.4f} ({result['n']} utterances)")
     if args.metrics_out:
@@ -288,7 +325,17 @@ def cmd_evaluate_connected(args):
             truths.append(labstr.split(" "))
             sigs.append(read_wav(os.path.join(args.corpus, name),
                                  cfg.frontend.sample_rate)[1])
-    got = rec.classify_connected(sigs, max_segments=args.max_segments)
+    method = getattr(args, "connected_method", "vad")
+    if method != "vad" and not args.bank:
+        raise SystemExit("--connected-method level needs a template bank "
+                         "(--bank); the level-building DP aligns frames "
+                         "against templates")
+    if method != "vad":
+        got = rec.classify_connected(
+            sigs, max_segments=args.max_segments, method=method,
+            word_penalty=getattr(args, "word_penalty", 0.0))
+    else:
+        got = rec.classify_connected(sigs, max_segments=args.max_segments)
     n_words = sum(len(t) for t in truths)
     errs = sum(edit_distance(g, t) for g, t in zip(got, truths))
     exact = sum(g == t for g, t in zip(got, truths))
@@ -642,14 +689,35 @@ def _demo_mic(stream, args):
         pa.terminate()
 
 
+def _add_connected_method(p):
+    p.add_argument("--connected-method", choices=("vad", "level"),
+                   default="vad", dest="connected_method",
+                   help="connected decoder: 'vad' = silence-gap splitter "
+                        "(default); 'level' = level-building DP over the "
+                        "template bank — handles GAPLESS/coarticulated "
+                        "speech (kNN-DTW banks only)")
+    p.add_argument("--word-penalty", type=float, default=0.0,
+                   help="level-building per-word cost bias (0 = pure "
+                        "distance; raise to discourage over-segmentation)")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="dsp_tpu", description=__doc__)
+    ap.add_argument("--platform", choices=("auto", "cpu", "tpu"),
+                    default="auto",
+                    help="force the jax backend BEFORE first use — "
+                         "'cpu' keeps every command (and its deadline "
+                         "children) off a stalled/unreachable TPU relay; "
+                         "an env-var pin is not enough because site "
+                         "startup re-registers the TPU plugin")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("make-corpus", help="write a synthetic WAV corpus")
     p.add_argument("--out", required=True)
     p.add_argument("--n", type=int, default=5, help="utterances per word/split")
-    p.add_argument("--words", type=int, default=10)
+    p.add_argument("--words", type=int, default=None,
+                   help="vocabulary size (default: 10 digits; the full "
+                        "35-class confusable vocabulary with --hostile)")
     p.add_argument("--connected", type=int, default=0, metavar="N",
                    help="also write N connected multi-word recordings + "
                         "labels.tsv manifest (for evaluate-connected)")
@@ -676,6 +744,7 @@ def main(argv=None):
                         "labels per file)")
     p.add_argument("--max-segments", type=int, default=8,
                    help="segment capacity per recording (--connected)")
+    _add_connected_method(p)
     p.add_argument("wavs", nargs="+")
     _add_common(p)
     p.set_defaults(fn=cmd_recognize)
@@ -698,6 +767,7 @@ def main(argv=None):
     p.add_argument("--hmm", help="GMM-HMM model checkpoint")
     p.add_argument("--vq", help="VQ codebook checkpoint")
     p.add_argument("--max-segments", type=int, default=8)
+    _add_connected_method(p)
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_connected)
 
@@ -799,6 +869,13 @@ def main(argv=None):
     p.set_defaults(fn=cmd_demo)
 
     args = ap.parse_args(argv)
+    if args.platform != "auto":
+        # must land before ANY backend init (incl. enable_compilation_cache,
+        # which imports jax); children inherit via JAX_PLATFORMS + the
+        # relay helpers' in-child re-assert (utils/relay._child_setup)
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+        os.environ["JAX_PLATFORMS"] = args.platform
     from dsp_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     return args.fn(args)

@@ -219,25 +219,56 @@ class KnnDtwRecognizer:
         return self.classify_batch([signal])[0]
 
     def classify_connected(self, signals, max_segments: int = 8,
-                           return_segments: bool = False):
+                           return_segments: bool = False,
+                           method: str = "vad",
+                           word_penalty: float = 0.0):
         """Recordings with SEVERAL words each -> one label list per recording.
 
-        The connected-word path (SURVEY.md §1a L1: the reference's
-        endpoint detector also "splits utterances"): the multi-segment
-        VAD (ops/vad.py:detect_segments) splits each recording into up
-        to ``max_segments`` utterances, and every segment is classified
-        against the bank in one flat batch with the same matcher kernels
-        and kNN vote as ``classify_batch``.  Recordings may be longer
-        than ``cfg.max_samples`` — they are padded to a whole multiple
-        of it so compile shapes stay quantised.
+        Two decoders:
 
-        With ``return_segments`` also returns (starts, ends, n_segs)
-        frame indices from the splitter.  Chunking, empty-input and
-        dummy-segment handling live in ``pipeline.decode_connected``
-        (shared with the HMM/VQ families).  With ``mesh`` set the
-        per-segment classify runs bank-sharded over the mesh, exactly
-        like ``classify_batch``.
+        ``method="vad"`` (default) — the splitter path (SURVEY.md §1a
+        L1: the reference's endpoint detector also "splits
+        utterances"): the multi-segment VAD (ops/vad.py:detect_segments)
+        splits each recording into up to ``max_segments`` utterances,
+        and every segment is classified against the bank in one flat
+        batch with the same matcher kernels and kNN vote as
+        ``classify_batch``.  Requires silence gaps between words.
+
+        ``method="level"`` — level-building DP
+        (ops/level_building.py): word count, identities and boundaries
+        are chosen JOINTLY by dynamic programming against the template
+        bank, so coarticulated/GAPLESS recordings decode correctly
+        (``max_segments`` caps the word count; ``word_penalty`` biases
+        it, 0 = pure distance).  Not available with a mesh or the
+        ltw/cascade matchers (the DP aligns raw frames against the
+        full bank).
+
+        Recordings may be longer than ``cfg.max_samples`` — they are
+        padded to a whole multiple of it so compile shapes stay
+        quantised.  With ``return_segments`` also returns segment
+        metadata: (starts, ends, n_segs) frame indices for "vad"; the
+        per-recording DP costs for "level".  Chunking, empty-input and
+        dummy-segment handling live in ``pipeline.decode_connected`` /
+        ``decode_connected_level`` (shared machinery).  With ``mesh``
+        set the per-segment classify runs bank-sharded over the mesh,
+        exactly like ``classify_batch`` (method="vad" only).
         """
+        if method == "level":
+            if self.mesh is not None:
+                raise ValueError("method='level' does not support a mesh "
+                                 "yet — clear the mesh or use method='vad'")
+            bank, ids = self.device_bank()
+            id_lists, costs = pl.decode_connected_level(
+                signals, self.mats, self.cfg, bank, ids,
+                max_levels=max_segments, word_penalty=word_penalty)
+            out = [self._ids_to_labels(np.asarray(ids_i, np.int32))
+                   for ids_i in id_lists]
+            if return_segments:
+                return out, costs
+            return out
+        if method != "vad":
+            raise ValueError(f"unknown connected method {method!r} "
+                             "(vad | level)")
         if self.mesh is not None:
             if self.matcher != "dtw":
                 raise ValueError(

@@ -1,0 +1,194 @@
+"""Level-building connected-word decoding over a template bank.
+
+The VAD-splitter connected path (ops/vad.py:detect_segments ->
+pipeline.decode_connected) requires silence gaps between words; for
+coarticulated/GAPLESS speech the classical answer is the level-building
+DP of Myers & Rabiner (1981) (equivalently Ney's 1984 one-stage DP run
+per word level): jointly choose the word count, word identities and
+their boundaries by dynamic programming over (level, query frame,
+template, template frame), instead of trusting an energy detector to
+find the boundaries first.  This module is the missing-gap remedy
+called out in VERDICT round 3 (#4); reference behavior: SURVEY.md §1a
+L1 ("splits utterances") taken to its limit.
+
+TPU mapping
+-----------
+* The local-cost tensor ``C[T, K, U]`` (query frame x template x
+  template frame) is ONE ``[T, F] @ [F, K*U]`` matmul (squared-Euclidean
+  expansion) — all the FLOPs land on the MXU, like the LTW matcher.
+* Each level is a ``lax.scan`` over query frames carrying the live DP
+  front ``[K, U]`` (plus an int32 token plane for the start-frame
+  backpointer — classical token passing); the level axis is an outer
+  ``lax.scan``.  All shapes static, no data-dependent control flow.
+* The per-step transition is the query-synchronous step set
+  {(1,0),(1,1),(1,2)} (Itakura-style: every query frame is consumed
+  exactly once), so the accumulated cost of ANY decode of a T-frame
+  recording is a sum of exactly T local distances — costs are directly
+  comparable across word counts, and the only cross-count bias is the
+  explicit per-word ``word_penalty``.
+
+Semantics (shared bit-for-bit with golden/level_building.py):
+* entering template v at query frame t starts at template frame 0 and
+  costs ``prev_level[t] + word_penalty + C[t, v, 0]``;
+* within a word, ``dp[t, v, j] = C[t, v, j] + min(dp[t-1, v, j],
+  dp[t-1, v, j-1], dp[t-1, v, j-2])``;
+* a word ends only at its true last frame ``lens[v] - 1``;
+* ``costs[l, t]`` = best cost of exactly ``l+1`` words consuming query
+  frames ``0..t``; the caller picks the level at the recording's last
+  valid frame and backtracks via the recorded (template, start) pairs.
+
+Masked template frames (j >= lens[v]) carry the finite sentinel BIG
+(ops/dtw.py discipline — masked lanes must stay finite so min/argmin
+never see NaN/inf arithmetic).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsp_tpu.ops.dtw import BIG
+
+
+def local_costs(q: jax.Array, bank: jax.Array, bank_lens: jax.Array,
+                squared: bool = False,
+                precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Query [T, F] x bank [K, U, F] -> local distances [T, K, U].
+
+    One MXU matmul via the squared-Euclidean expansion; frames past a
+    template's true length are masked to BIG.
+    """
+    t, f = q.shape
+    k, u, _ = bank.shape
+    bf = bank.reshape(k * u, f)
+    cross = jnp.matmul(q, bf.T, precision=precision)          # [T, K*U]
+    d = (jnp.sum(q * q, axis=-1, keepdims=True)
+         + jnp.sum(bf * bf, axis=-1)[None, :] - 2.0 * cross)
+    d = jnp.maximum(d, 0.0).reshape(t, k, u)
+    if not squared:
+        d = jnp.sqrt(d)
+    dead = jnp.arange(u)[None, :] >= bank_lens[:, None]       # [K, U]
+    return jnp.where(dead[None], BIG, d)
+
+
+def _shift_j(x: jax.Array, by: int, fill):
+    """Shift [K, U] one/two steps up the template-frame axis."""
+    return jnp.concatenate(
+        [jnp.full((x.shape[0], by), fill, x.dtype), x[:, :-by]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_levels", "squared",
+                                             "precision"))
+def level_build(q_feats: jax.Array, q_lens: jax.Array,
+                bank_feats: jax.Array, bank_lens: jax.Array,
+                max_levels: int = 8,
+                word_penalty: jax.Array | float = 0.0,
+                squared: bool = False,
+                precision=jax.lax.Precision.HIGHEST):
+    """Batched level-building DP.
+
+    Args:
+      q_feats:    [B, T, F] whole-recording features (padding zeroed).
+      q_lens:     [B] valid frame counts (readout only — the DP runs the
+                  full static T; entries past the valid frame are never
+                  read because the caller indexes costs at t_valid-1).
+      bank_feats: [K, U, F] template bank, bank_lens [K].
+      max_levels: static maximum word count L.
+      word_penalty: added once per word — biases the level choice
+                  (0.0 = pure distance; costs are length-comparable
+                  because every decode sums exactly T local distances).
+
+    Returns (costs [B, L, T], words [B, L, T] int32 template ids,
+    starts [B, L, T] int32): entry ``[l, t]`` describes the best decode
+    of ``l+1`` words consuming query frames ``0..t`` — its total cost,
+    its LAST word's template, and how many frames the first ``l`` words
+    consumed (the backtrack pointer into level ``l-1``).
+    """
+    word_penalty = jnp.asarray(word_penalty, jnp.float32)
+    lens_idx = (jnp.maximum(bank_lens, 1) - 1)[:, None]        # [K, 1]
+
+    def one(q, _qlen):
+        c = local_costs(q, bank_feats, bank_lens, squared, precision)
+        t_frames = c.shape[0]
+        k, u = c.shape[1], c.shape[2]
+
+        def level(prev, _):
+            # prev: [T+1], prev[s] = best cost of the previous levels
+            # consuming exactly s query frames (prev[0]=0 at level 0)
+            entry_costs = prev[:t_frames] + word_penalty       # [T]
+
+            def step(carry, inp):
+                dp, tok = carry                                # [K,U] f32/i32
+                c_t, e_t, t = inp
+                entry = jnp.full((k, u), BIG, jnp.float32).at[:, 0].set(e_t)
+                cands = jnp.stack([dp,
+                                   _shift_j(dp, 1, BIG),
+                                   _shift_j(dp, 2, BIG),
+                                   entry])                     # [4, K, U]
+                toks = jnp.stack([tok,
+                                  _shift_j(tok, 1, 0),
+                                  _shift_j(tok, 2, 0),
+                                  jnp.full((k, u), t, jnp.int32)])
+                sel = jnp.argmin(cands, axis=0)                # [K, U]
+                dp = jnp.min(cands, axis=0) + c_t
+                # finite-BIG discipline: several masked candidates can
+                # stack (BIG + BIG local costs) — clamp so the carry
+                # never drifts toward f32 overflow over long scans
+                dp = jnp.minimum(dp, BIG)
+                tok = jnp.take_along_axis(toks, sel[None], axis=0)[0]
+                ends = jnp.take_along_axis(dp, lens_idx, axis=1)[:, 0]
+                best_v = jnp.argmin(ends)                      # scalar
+                out = (ends[best_v], best_v.astype(jnp.int32),
+                       jnp.take_along_axis(tok, lens_idx, axis=1)[:, 0][best_v])
+                return (dp, tok), out
+
+            init = (jnp.full((k, u), BIG, jnp.float32),
+                    jnp.zeros((k, u), jnp.int32))
+            (_, _), (cost_t, v_t, s_t) = jax.lax.scan(
+                step, init,
+                (c, entry_costs, jnp.arange(t_frames, dtype=jnp.int32)))
+            # next level's prev: consuming 0 frames is impossible once
+            # any word has been decoded
+            nxt = jnp.concatenate([jnp.asarray([BIG], jnp.float32), cost_t])
+            return nxt, (cost_t, v_t, s_t)
+
+        prev0 = jnp.full((t_frames + 1,), BIG,
+                         jnp.float32).at[0].set(0.0)
+        _, (costs, words, starts) = jax.lax.scan(
+            level, prev0, None, length=max_levels)
+        return costs, words, starts
+
+    return jax.vmap(one)(q_feats, q_lens)
+
+
+def backtrack(costs: np.ndarray, words: np.ndarray, starts: np.ndarray,
+              t_valid: int, max_levels: int | None = None):
+    """Host backtrace for ONE recording -> (template ids, level cost).
+
+    ``costs/words/starts`` are the [L, T] planes from :func:`level_build`;
+    ``t_valid`` the recording's true frame count.  Returns ``([], BIG)``
+    when no level reaches the last frame (e.g. every template too long
+    for the recording under the slope-2 step set).
+    """
+    t_valid = int(t_valid)
+    if t_valid <= 0:
+        return [], float(BIG)
+    levels = costs.shape[0] if max_levels is None else min(
+        max_levels, costs.shape[0])
+    final = costs[:levels, t_valid - 1]
+    l_star = int(np.argmin(final))
+    best = float(final[l_star])
+    if best >= BIG / 2:
+        return [], float(BIG)
+    seq = []
+    t = t_valid - 1
+    for lvl in range(l_star, -1, -1):
+        seq.append(int(words[lvl, t]))
+        consumed_before = int(starts[lvl, t])
+        t = consumed_before - 1
+    if t != -1:   # pragma: no cover - DP invariant (level 0 starts at 0)
+        raise AssertionError(f"backtrack did not land at frame 0 (t={t})")
+    return seq[::-1], best

@@ -18,6 +18,8 @@ Typical use:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 
@@ -52,8 +54,27 @@ def initialize(coordinator_address: str | None = None,
         try:
             jax.distributed.initialize()
         except Exception as e:
-            log.info("distributed auto-init unavailable (%s); "
-                     "single-process run", e)
+            # On a box with no cluster markers this is the normal
+            # single-process path (INFO).  But when the environment SAYS
+            # multi-host (TPU/GKE coordinator env vars present), a
+            # failed init is a misconfiguration degrading to a silent
+            # 1-process run — warn loudly (ADVICE round 3).
+            markers = [v for v in ("COORDINATOR_ADDRESS",
+                                   "MEGASCALE_COORDINATOR_ADDRESS",
+                                   "TPU_WORKER_HOSTNAMES",
+                                   "TPU_WORKER_ID",
+                                   "CLOUD_TPU_TASK_ID")
+                       if os.environ.get(v)]
+            if markers:
+                log.warning(
+                    "distributed auto-init FAILED (%s) although multi-host "
+                    "env markers are set (%s) — this looks like a cluster "
+                    "misconfiguration; continuing as a SINGLE-process run, "
+                    "which will silently compute on 1/N of the data",
+                    e, ", ".join(markers))
+            else:
+                log.info("distributed auto-init unavailable (%s); "
+                         "single-process run", e)
             return
     else:
         jax.distributed.initialize(coordinator_address=coordinator_address,

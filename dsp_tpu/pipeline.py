@@ -69,18 +69,19 @@ def _extract_one(x: jax.Array, n_samples: jax.Array, mats: fe.FrontendMatrices,
 
 
 def _finalize_window(c: jax.Array, start: jax.Array, end: jax.Array,
-                     cfg: PipelineConfig) -> Features:
+                     cfg: PipelineConfig, t_max: int | None = None) -> Features:
     """Cepstra [T_rec, C] + frame window [start, end) -> masked Features.
 
-    Gathers ``cfg.max_frames`` frames starting at ``start`` (clamping the
-    window length to ``max_frames``), then applies CMN and delta stacking
-    exactly as the isolated path always has.  Shared by the isolated
-    extractor above and the per-segment connected extractor, so segment
+    Gathers ``t_max`` (default ``cfg.max_frames``) frames starting at
+    ``start`` (clamping the window length to ``t_max``), then applies
+    CMN and delta stacking exactly as the isolated path always has.
+    Shared by the isolated extractor above, the per-segment connected
+    extractor, and the whole-recording extractor (level building), so
     features are bit-identical to what the isolated pipeline would
     produce for the same frame window.
     """
     f = cfg.frontend
-    t_max = cfg.max_frames
+    t_max = cfg.max_frames if t_max is None else t_max
     length = jnp.minimum(jnp.maximum(end - start, 1), t_max)
     idx = jnp.clip(start + jnp.arange(t_max), 0, c.shape[0] - 1)
     c = jnp.take(c, idx, axis=0)                              # frames from VAD start
@@ -165,7 +166,11 @@ def classify_features(feats: Features, bank: Features, bank_label_ids: jax.Array
                       cfg.dtw, precision)
     if k <= 1:
         best = jnp.argmin(dists, axis=-1)
-        return jnp.take(bank_label_ids, best), dists
+        ids = jnp.take(bank_label_ids, best)
+        # all-dead row (every distance >= 1e20, e.g. slope="itakura" with
+        # no admissible length ratio) -> sentinel -1, matching vote_topk
+        # so the k=1 path agrees with the k>1 and mesh paths (ADVICE r3).
+        return jnp.where(jnp.min(dists, axis=-1) < 1e20, ids, -1), dists
     if n_labels is None:
         raise ValueError("n_labels required for k > 1")
     return knn_vote(dists, bank_label_ids, n_labels, k), dists
@@ -279,6 +284,8 @@ def classify_features_cascade(feats: Features, bank: Features,
     if k <= 1:
         best = jnp.argmin(d, axis=-1)
         ids = jnp.take_along_axis(cand_labels, best[:, None], axis=1)[:, 0]
+        # same all-dead sentinel as classify_features' k=1 branch
+        ids = jnp.where(jnp.min(d, axis=-1) < 1e20, ids, -1)
     else:
         if n_labels is None:
             raise ValueError("n_labels required for k > 1")
@@ -431,6 +438,98 @@ def decode_connected(signals, mats: fe.FrontendMatrices,
         nss.append(n_segs[:n_real])
     return (outs, np.concatenate(sts), np.concatenate(ens),
             np.concatenate(nss))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "t_max", "precision"))
+def extract_recording_features(signals: jax.Array, n_samples: jax.Array,
+                               mats: fe.FrontendMatrices,
+                               cfg: PipelineConfig,
+                               t_max: int,
+                               precision=jax.lax.Precision.HIGHEST
+                               ) -> Features:
+    """Padded recordings [B, N] -> WHOLE-recording features [B, t_max, F].
+
+    The level-building front half: unlike :func:`extract_segments_features`
+    there is no splitting — one global VAD window (first onset to last
+    offset) per recording, CMN over that whole window, deltas as always.
+    ``t_max`` must cover the recording's frame count (the caller derives
+    it from the padded length).
+    """
+    f = cfg.frontend
+
+    def one(x, n):
+        if f.feature_type == "lpcc":
+            from dsp_tpu.ops.lpc import lpcc
+            c = lpcc(x, f)
+        else:
+            c = fe.mfcc(x, f, mats, use_fft=False, precision=precision)
+        n_frames = jnp.maximum(0, 1 + (n - f.frame_len) // f.hop_len)
+        if cfg.use_vad:
+            start, end, _ = jvad.detect_endpoints(x, f, cfg.vad, n)
+        else:
+            start, end = jnp.asarray(0), n_frames
+        return _finalize_window(c, start, end, cfg, t_max=t_max)
+
+    return jax.vmap(one)(signals, n_samples)
+
+
+def decode_connected_level(signals, mats: fe.FrontendMatrices,
+                           cfg: PipelineConfig,
+                           bank: Features, bank_label_ids,
+                           max_levels: int = 8,
+                           word_penalty: float = 0.0,
+                           precision=jax.lax.Precision.HIGHEST):
+    """Level-building connected decode over host recordings (GAPLESS ok).
+
+    The algorithmic alternative to :func:`decode_connected`'s VAD
+    splitter (ops/level_building.py): word boundaries come out of the
+    joint DP, not an energy detector, so coarticulated/gapless speech
+    decodes correctly.  Template-bank families only (the DP aligns
+    query frames against templates).
+
+    Returns ``(label_id_lists, costs)``: per recording the decoded
+    template LABEL ids (empty when nothing is reachable) and the raw DP
+    cost.  The local cost follows ``cfg.dtw.squared``; ``word_penalty``
+    biases the word-count choice (0 = pure distance).
+    """
+    from dsp_tpu.ops.level_building import backtrack, level_build
+
+    if not len(signals):
+        return [], np.zeros((0,), np.float32)
+    quantum = cfg.max_samples
+    f = cfg.frontend
+    ids_np = np.asarray(bank_label_ids)
+    out_ids, out_costs = [], []
+    # recordings grouped by padded length so compile shapes stay
+    # quantised; within a group, one jit call end-to-end
+    order = np.argsort([len(np.asarray(s)) for s in signals], kind="stable")
+    groups: dict = {}
+    for i in order:
+        n_len = max(1, len(np.asarray(signals[i])))
+        pad_len = quantum * -(-n_len // quantum)
+        groups.setdefault(pad_len, []).append(i)
+    results: dict = {}
+    for pad_len, idxs in groups.items():
+        t_max = max(1, 1 + (pad_len - f.frame_len) // f.hop_len)
+        x, n = pad_signals([signals[i] for i in idxs], pad_len)
+        feats = extract_recording_features(x, n, mats, cfg, t_max, precision)
+        costs, words, starts = level_build(
+            feats.feats, feats.length, bank.feats, bank.length,
+            max_levels=max_levels, word_penalty=word_penalty,
+            squared=cfg.dtw.squared, precision=precision)
+        costs = np.asarray(costs)
+        words = np.asarray(words)
+        starts = np.asarray(starts)
+        lens = np.asarray(feats.length)
+        for row, i in enumerate(idxs):
+            seq, cost = backtrack(costs[row], words[row], starts[row],
+                                  int(lens[row]))
+            results[i] = ([int(ids_np[v]) for v in seq], cost)
+    for i in range(len(signals)):
+        ids, cost = results[i]
+        out_ids.append(ids)
+        out_costs.append(cost)
+    return out_ids, np.asarray(out_costs, np.float32)
 
 
 def extract_signals(signals, mats: fe.FrontendMatrices,

@@ -68,6 +68,24 @@ def test_recognize_connected(corpus_dir, tmp_path, capsys):
     assert out.strip().split("\t")[1].split(" ") == labels
 
 
+def test_recognize_connected_level_method(corpus_dir, tmp_path, capsys):
+    """--connected-method level decodes a GAPLESS recording the VAD
+    splitter cannot segment (ops/level_building.py)."""
+    from dsp_tpu.io.dataset import synth_connected
+    from dsp_tpu.io.wav import write_wav
+
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    labels = sorted(os.listdir(os.path.join(corpus_dir, "train")))[:2]
+    wav = str(tmp_path / "gapless.wav")
+    write_wav(wav, 16000, synth_connected(labels, 3, gap_ms=(0.0, 1.0)))
+    cli.main(["recognize", "--bank", bank, "--connected",
+              "--connected-method", "level", wav])
+    out = capsys.readouterr().out
+    assert out.strip().split("\t")[1].split(" ") == labels
+
+
 def test_make_corpus_connected_and_evaluate(tmp_path, capsys):
     d = str(tmp_path / "corpus")
     cli.main(["make-corpus", "--out", d, "--n", "2", "--words", "3",
@@ -206,3 +224,27 @@ def test_warm_command_synthetic_bank(capsys):
               "--timeout", "300", "--retries", "0"])
     out = capsys.readouterr().out
     assert "warm: batch=1 bank=10" in out   # 10 words x ceil(4/10)=1 each
+
+
+def test_evaluate_compile_timeout_runs_in_deadline_child(corpus_dir,
+                                                         tmp_path, capsys):
+    """--compile-timeout must produce the same result as the in-process
+    path, with the recognizer LOADED inside the deadline child (the
+    parent touches no jax — ADVICE round 3: pickling a live recognizer
+    fetched device arrays before the deadline machinery started)."""
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    cli.main(["evaluate", "--corpus", os.path.join(corpus_dir, "test"),
+              "--bank", bank, "--compile-timeout", "300"])
+    out = capsys.readouterr().out
+    acc = float(out.rsplit("accuracy:", 1)[1].split("(")[0])
+    assert acc >= 0.8
+
+
+def test_make_corpus_hostile_defaults_to_full_vocab(tmp_path):
+    """Unset --words on --hostile must yield the full 35-class confusable
+    vocabulary, not the 10-digit default (ADVICE round 3)."""
+    d = str(tmp_path / "hostile")
+    cli.main(["make-corpus", "--out", d, "--n", "1", "--hostile"])
+    assert len(os.listdir(os.path.join(d, "train"))) == 35

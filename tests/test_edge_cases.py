@@ -30,13 +30,22 @@ def test_hmm_unfitted_raises():
 
 
 def test_tiny_signal_does_not_crash(recognizer):
-    """Signals shorter than one frame classify to *some* label, no error."""
-    assert recognizer.recognize(np.zeros(10, dtype=np.float32)) in ["zero", "one"]
-    assert recognizer.recognize(np.zeros(0, dtype=np.float32)) in ["zero", "one"]
+    """Signals shorter than one frame must not error.  Since the k=1
+    all-dead sentinel (ADVICE round 3) a zero-frame query — every
+    distance unreachable — honestly reports NO_MATCH instead of
+    silently electing the first template."""
+    from dsp_tpu.models.knn_dtw import NO_MATCH
+
+    allowed = ["zero", "one", NO_MATCH]
+    assert recognizer.recognize(np.zeros(10, dtype=np.float32)) in allowed
+    assert recognizer.recognize(np.zeros(0, dtype=np.float32)) in allowed
 
 
 def test_digital_silence_does_not_crash(recognizer):
-    assert recognizer.recognize(np.zeros(16000, dtype=np.float32)) in ["zero", "one"]
+    from dsp_tpu.models.knn_dtw import NO_MATCH
+
+    got = recognizer.recognize(np.zeros(16000, dtype=np.float32))
+    assert got in ["zero", "one", NO_MATCH]
 
 
 def test_overlong_signal_truncates(recognizer):

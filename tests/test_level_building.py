@@ -1,0 +1,156 @@
+"""Level-building connected decode (ops/level_building.py).
+
+Three-layer proof: (1) the golden loop-level DP equals exhaustive
+segmentation x assignment enumeration on tiny problems, (2) the jax
+scan-of-scans equals the golden DP bit-for-bit-ish on random ragged
+banks, (3) backtrack recovers the true word sequence on synthetic
+GAPLESS recordings where the VAD splitter cannot (the capability this
+module exists for — VERDICT r3 #4).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dsp_tpu.golden import level_building as gl
+from dsp_tpu.ops import level_building as lb
+
+RNG = np.random.default_rng(11)
+
+
+def _ragged_bank(k, u_max, f, rng):
+    lens = rng.integers(3, u_max + 1, size=k)
+    templates = [rng.standard_normal((int(u), f)).astype(np.float32)
+                 for u in lens]
+    padded = np.zeros((k, u_max, f), np.float32)
+    for v, tm in enumerate(templates):
+        padded[v, : len(tm)] = tm
+    return templates, padded, lens.astype(np.int32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("penalty", [0.0, 0.7])
+def test_golden_dp_matches_brute_enumeration(seed, penalty):
+    rng = np.random.default_rng(seed)
+    t, f, k = 8, 2, 3
+    q = rng.standard_normal((t, f)).astype(np.float32)
+    templates, _, _ = _ragged_bank(k, 4, f, rng)
+    max_l = 3
+    costs, words, starts = gl.level_build_ref(q, templates, max_l, penalty)
+    want_seq, want_cost = gl.brute_connected(q, templates, max_l, penalty)
+    final = costs[:, -1] + 0.0   # cost of l+1 words consuming ALL frames
+    got_cost = float(np.min(final))
+    assert got_cost == pytest.approx(want_cost, rel=1e-6)
+    got_seq, bt_cost = lb.backtrack(costs, words, starts, t)
+    assert bt_cost == pytest.approx(want_cost, rel=1e-6)
+    assert got_seq == want_seq
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_jax_level_build_matches_golden(seed):
+    rng = np.random.default_rng(100 + seed)
+    t, f, k, u_max, max_l = 12, 3, 4, 6, 4
+    q = rng.standard_normal((2, t, f)).astype(np.float32)
+    templates, padded, lens = _ragged_bank(k, u_max, f, rng)
+    costs, words, starts = lb.level_build(
+        jnp.asarray(q), jnp.asarray([t, t], jnp.int32),
+        jnp.asarray(padded), jnp.asarray(lens), max_levels=max_l,
+        word_penalty=0.3)
+    for b in range(2):
+        rc, rw, rs = gl.level_build_ref(q[b], templates, max_l, 0.3)
+        live = rc < gl.BIG / 2
+        np.testing.assert_allclose(np.asarray(costs[b])[live], rc[live],
+                                   rtol=2e-4, atol=2e-4)
+        got_live = np.asarray(costs[b]) < gl.BIG / 2
+        np.testing.assert_array_equal(got_live, live)
+        np.testing.assert_array_equal(np.asarray(words[b])[live], rw[live])
+        np.testing.assert_array_equal(np.asarray(starts[b])[live], rs[live])
+
+
+def test_jax_matches_golden_squared_cost():
+    rng = np.random.default_rng(7)
+    t, f, k, u_max = 10, 2, 3, 5
+    q = rng.standard_normal((1, t, f)).astype(np.float32)
+    templates, padded, lens = _ragged_bank(k, u_max, f, rng)
+    costs, _, _ = lb.level_build(
+        jnp.asarray(q), jnp.asarray([t], jnp.int32), jnp.asarray(padded),
+        jnp.asarray(lens), max_levels=3, squared=True)
+    rc, _, _ = gl.level_build_ref(q[0], templates, 3, 0.0, squared=True)
+    live = rc < gl.BIG / 2
+    np.testing.assert_allclose(np.asarray(costs[0])[live], rc[live],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_backtrack_infeasible_returns_empty():
+    """Every template longer than 2x the recording -> nothing reachable."""
+    costs = np.full((2, 4), gl.BIG)
+    words = np.zeros((2, 4), np.int32)
+    starts = np.zeros((2, 4), np.int32)
+    seq, cost = lb.backtrack(costs, words, starts, 4)
+    assert seq == [] and cost >= gl.BIG / 2
+
+
+def test_backtrack_zero_length():
+    seq, cost = lb.backtrack(np.zeros((1, 1)), np.zeros((1, 1), np.int32),
+                             np.zeros((1, 1), np.int32), 0)
+    assert seq == []
+
+
+def test_gapless_recording_level_beats_vad_splitter():
+    """The capability gap this module closes (VERDICT r3 #4): words
+    butted together with NO silence gap.  The VAD splitter sees one
+    segment and under-counts; level building recovers the sequence."""
+    from dsp_tpu.config import PipelineConfig
+    from dsp_tpu.io.dataset import synth_connected, synth_word
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    cfg = PipelineConfig()
+    rec = KnnDtwRecognizer(cfg)
+    for lab in ["zero", "one", "two"]:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(2)])
+
+    truth = ["two", "zero", "one"]
+    sig = synth_connected(truth, seed=5, gap_ms=(0.0, 1.0),
+                          lead_ms=(50.0, 60.0))
+    vad_out = rec.classify_connected([sig], max_segments=4)[0]
+    level_out = rec.classify_connected([sig], max_segments=4,
+                                       method="level")[0]
+    assert len(vad_out) < len(truth)     # splitter under-segments
+    assert level_out == truth
+
+    # and the level decoder keeps working on a normally-gapped recording
+    gapped = synth_connected(truth, seed=6)
+    assert rec.classify_connected([gapped], max_segments=4,
+                                  method="level")[0] == truth
+
+
+def test_level_method_rejects_mesh():
+    from dsp_tpu.config import PipelineConfig
+    from dsp_tpu.io.dataset import synth_word
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    rec = KnnDtwRecognizer(PipelineConfig())
+    rec.enroll("zero", [synth_word("zero", 0)])
+    rec.mesh = object()
+    with pytest.raises(ValueError, match="mesh"):
+        rec.classify_connected([synth_word("zero", 1)], method="level")
+
+
+def test_word_penalty_prefers_fewer_words():
+    """Two identical adjacent words: with a huge per-word penalty a
+    single long template (the two concatenated) must win over two
+    short decodes."""
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((4, 2)).astype(np.float32)
+    q = np.concatenate([w, w])                       # 8 frames, two "words"
+    # the one-word decode is slightly imperfect, so at zero penalty the
+    # two exact short matches win strictly (an exact long template would
+    # TIE at cost 0 and the earlier level wins ties)
+    templates = [w, np.concatenate([w, w]) + 0.05]
+    costs0, words0, starts0 = gl.level_build_ref(q, templates, 3, 0.0)
+    seq0, _ = lb.backtrack(costs0, words0, starts0, len(q))
+    assert seq0 == [0, 0]        # free: two exact short matches
+    costs9, words9, starts9 = gl.level_build_ref(q, templates, 3, 50.0)
+    seq9, _ = lb.backtrack(costs9, words9, starts9, len(q))
+    assert seq9 == [1]           # heavy penalty: one long exact match

@@ -72,12 +72,120 @@ def test_vote_topk_all_dead_row_returns_sentinel():
     assert got[1] == 1
 
 
+def _itakura_dead_setup():
+    """Query 5x longer than every template under slope='itakura' (length
+    ratio > max_warp_scale=2) -> every distance unreachable (>= 1e20)."""
+    from dsp_tpu.config import DtwConfig, PipelineConfig
+    from dsp_tpu.pipeline import Features
+
+    rng = np.random.default_rng(7)
+    q = Features(jnp.asarray(rng.standard_normal((2, 50, 5)), jnp.float32),
+                 jnp.asarray([50, 12], jnp.int32))   # row 1 stays reachable
+    bank = Features(jnp.asarray(rng.standard_normal((3, 50, 5)), jnp.float32),
+                    jnp.asarray([10, 9, 8], jnp.int32))
+    ids = jnp.asarray([0, 1, 1], jnp.int32)
+    cfg = PipelineConfig(dtw=DtwConfig(band_frac=1.0, max_warp_scale=2.0,
+                                       slope="itakura"))
+    return q, bank, ids, cfg
+
+
+def test_classify_features_k1_all_dead_row_returns_sentinel():
+    """k=1 must surface -1 on an all-unreachable row exactly like
+    vote_topk does, so single-device k=1 agrees with the mesh path
+    (ADVICE round 3: plain argmin silently elected template 0)."""
+    from dsp_tpu import pipeline as pl
+
+    q, bank, ids, cfg = _itakura_dead_setup()
+    got, d = pl.classify_features(q, bank, ids, k=1, cfg=cfg)
+    d = np.asarray(d)
+    assert (d[0] >= 1e20).all() and (d[1] < 1e20).any()
+    assert int(got[0]) == -1
+    assert int(got[1]) in (0, 1)
+
+
+def test_classify_features_cascade_k1_all_dead_row_returns_sentinel():
+    from dsp_tpu import pipeline as pl
+
+    q, bank, ids, cfg = _itakura_dead_setup()
+    got, d, _ = pl.classify_features_cascade(q, bank, ids, shortlist=3,
+                                             k=1, cfg=cfg)
+    d = np.asarray(d)
+    assert (d[0] >= 1e20).all() and (d[1] < 1e20).any()
+    assert int(got[0]) == -1
+    assert int(got[1]) in (0, 1)
+
+
 def test_recognizer_maps_sentinel_to_no_match():
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer, NO_MATCH
 
     rec = KnnDtwRecognizer()
     rec.labels = ["a", "b"]
     assert rec._ids_to_labels(np.asarray([1, -1, 0])) == ["b", NO_MATCH, "a"]
+
+
+def test_initialize_warns_on_failed_autoinit_with_cluster_markers(
+        monkeypatch, caplog):
+    """Auto-init failure with multi-host env markers present must WARN
+    (cluster misconfig degrading to 1 process), not log at INFO
+    (ADVICE round 3)."""
+    import logging
+
+    import jax
+
+    monkeypatch.setattr(multihost, "_initialized", False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "h0,h1")
+
+    def boom():
+        raise RuntimeError("coordinator unreachable")
+
+    # the package logger sets propagate=False, so capture via a direct
+    # handler rather than caplog's root-logger hook
+    records = []
+
+    class Sink(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    multihost.log.addHandler(Sink())
+    try:
+        multihost.initialize()
+    finally:
+        multihost.log.handlers = [h for h in multihost.log.handlers
+                                  if not isinstance(h, Sink)]
+    assert any(r.levelno == logging.WARNING
+               and "misconfiguration" in r.getMessage() for r in records)
+
+
+def test_initialize_quiet_on_failed_autoinit_without_markers(
+        monkeypatch, caplog):
+    import logging
+
+    import jax
+
+    monkeypatch.setattr(multihost, "_initialized", False)
+    for v in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+              "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID"):
+        monkeypatch.delenv(v, raising=False)
+
+    def boom():
+        raise RuntimeError("no cluster")
+
+    records = []
+
+    class Sink(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    multihost.log.addHandler(Sink())
+    try:
+        multihost.initialize()
+    finally:
+        multihost.log.handlers = [h for h in multihost.log.handlers
+                                  if not isinstance(h, Sink)]
+    assert records   # the INFO fallback line was emitted
+    assert not any(r.levelno >= logging.WARNING for r in records)
 
 
 def test_initialize_explicit_single_process_is_noop():
