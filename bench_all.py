@@ -2,6 +2,11 @@
 
     python bench_all.py            # runs on whatever backend jax picks
 
+Every config is timed over BENCH_ALL_PASSES (default 3) passes after one
+warm pass; the JSON line carries value = MEDIAN rate plus min/max (the
+relay's pass-to-pass noise is ~±30% — VERDICT r3 #6).  DSP_TPU_PLATFORM
+pins the backend before first use (e.g. cpu during a relay outage).
+
 Configs (BASELINE.json `configs`):
   0. single WAV -> MFCC -> DTW vs 10-digit bank  (latency)
   1. batched 1k utterances x 100 templates        (headline throughput;
@@ -30,6 +35,12 @@ def emit(**kv):
 
 
 def main():
+    plat = os.environ.get("DSP_TPU_PLATFORM", "")
+    if plat:
+        # config-level pin BEFORE first backend use (site startup repins
+        # the TPU plugin; the env var alone cannot keep this off a dead
+        # relay)
+        jax.config.update("jax_platforms", plat)
     from dsp_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -39,7 +50,18 @@ def main():
     from dsp_tpu.models import gmm_hmm as gh
     from dsp_tpu.ops import frontend as fe
     from dsp_tpu.ops import streaming as st
-    from dsp_tpu.utils.timing import chained_timeit, token_mix
+    from dsp_tpu.utils.timing import chained_timeit_spread, token_mix
+
+    passes = int(os.environ.get("BENCH_ALL_PASSES", 3))
+
+    def timed(step, args, n_iters, scale, **meta):
+        med, lo, hi = chained_timeit_spread(step, args, n_iters=n_iters,
+                                            passes=passes)
+        # rates invert the dt ordering: fastest pass -> max rate
+        emit(value=round(scale / med, 1),
+             passes=passes, min=round(scale / hi, 1),
+             max=round(scale / lo, 1), **meta)
+        return med
 
     cfg = PipelineConfig()
     mats = fe.make_matrices(cfg.frontend)
@@ -63,9 +85,11 @@ def main():
                                        bank10, ids10, cfg)
         return labels
 
-    dt = chained_timeit(single, (x1,), n_iters=16)
+    med, lo, hi = chained_timeit_spread(single, (x1,), n_iters=16,
+                                        passes=passes)
     emit(config=0, metric="single_wav_recognize_latency_ms",
-         value=round(dt * 1e3, 3), unit="ms")
+         value=round(med * 1e3, 3), passes=passes,
+         min=round(lo * 1e3, 3), max=round(hi * 1e3, 3), unit="ms")
 
     # ---- config 1: headline batched throughput -----------------------------
     bank100, ids100 = make_bank(DIGITS, 10)
@@ -81,9 +105,9 @@ def main():
                                        bank100, ids100, cfg)
         return labels
 
-    dt = chained_timeit(batched, (xb,), n_iters=8)
-    emit(config=1, metric="mfcc_dtw_alignments_per_sec_per_chip",
-         value=round(B * 100 / dt, 1), unit="alignments/s/chip")
+    timed(batched, (xb,), 8, B * 100, config=1,
+          metric="mfcc_dtw_alignments_per_sec_per_chip",
+          unit="alignments/s/chip")
 
     # ---- config 2: streaming front-end real-time factor --------------------
     chunk_len = 1600  # 100 ms of audio
@@ -96,9 +120,9 @@ def main():
                                   cfg.frontend, cfg.vad, chunk_len)
         return out.mfcc
 
-    dt = chained_timeit(stream_step, (chunk,), n_iters=32)
-    emit(config=2, metric="streaming_realtime_factor",
-         value=round(0.1 / dt, 1), unit="x realtime (100ms chunks)")
+    timed(stream_step, (chunk,), 32, 0.1, config=2,
+          metric="streaming_realtime_factor",
+          unit="x realtime (100ms chunks)")
 
     # ---- config 3: GMM-HMM Viterbi decode ----------------------------------
     rng = np.random.default_rng(0)
@@ -118,9 +142,9 @@ def main():
 
     # fast op (~4 ms): needs many iters or the one-off ~25 ms relay
     # fetch inflates the reading ~2x (round-2 postmortem)
-    dt = chained_timeit(decode, (feats.feats,), n_iters=48)
-    emit(config=3, metric="viterbi_decodes_per_sec",
-         value=round(B * W / dt, 1), unit="utterance-word decodes/s/chip")
+    timed(decode, (feats.feats,), 48, B * W, config=3,
+          metric="viterbi_decodes_per_sec",
+          unit="utterance-word decodes/s/chip")
 
     # ---- config 4: 35-class kNN-DTW ----------------------------------------
     root = os.environ.get("SC2_ROOT")
@@ -136,10 +160,9 @@ def main():
                                        bank35, ids35, cfg)
         return labels
 
-    dt = chained_timeit(c35, (xb,), n_iters=8)
-    emit(config=4, metric="sc2_style_35class_alignments_per_sec",
-         value=round(B * int(bank35.feats.shape[0]) / dt, 1),
-         unit="alignments/s/chip (synthetic 35-class)")
+    timed(c35, (xb,), 8, B * int(bank35.feats.shape[0]), config=4,
+          metric="sc2_style_35class_alignments_per_sec",
+          unit="alignments/s/chip (synthetic 35-class)")
 
     # ---- bonus: connected-word decoding ------------------------------------
     from dsp_tpu.io.dataset import synth_connected
@@ -164,10 +187,9 @@ def main():
             n_labels=len(DIGITS), cfg=cfg, max_segments=4)
         return label_ids
 
-    dt = chained_timeit(conn_step, (connj,), n_iters=8)
-    emit(config="connected", metric="connected_words_per_sec_per_chip",
-         value=round(n_conn * n_words / dt, 1),
-         unit="words/s/chip (multi-segment split + classify, 3-word clips)")
+    timed(conn_step, (connj,), 8, n_conn * n_words, config="connected",
+          metric="connected_words_per_sec_per_chip",
+          unit="words/s/chip (multi-segment split + classify, 3-word clips)")
 
     # ---- bonus: linear-time-warp fast matcher ------------------------------
     @jax.jit
@@ -176,10 +198,9 @@ def main():
         labels, _ = pl.classify_features_ltw(f, bank100, ids100, 64)
         return labels
 
-    dt = chained_timeit(ltw, (xb,), n_iters=16)
-    emit(config="ltw", metric="ltw_comparisons_per_sec_per_chip",
-         value=round(B * 100 / dt, 1),
-         unit="comparisons/s/chip (fast matcher)")
+    timed(ltw, (xb,), 16, B * 100, config="ltw",
+          metric="ltw_comparisons_per_sec_per_chip",
+          unit="comparisons/s/chip (fast matcher)")
 
 
 if __name__ == "__main__":

@@ -313,6 +313,7 @@ def cmd_evaluate_connected(args):
     elif args.hmm:
         from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
         rec = GmmHmmRecognizer.load(args.hmm, cfg)
+        rec.noise_adapt = getattr(args, "noise_adapt", False)
     else:
         from dsp_tpu.models.vq import VqRecognizer
         rec = VqRecognizer.load(args.vq, cfg)
@@ -408,6 +409,7 @@ def cmd_evaluate_hmm(args):
     hmm = HmmConfig(n_states=args.states, n_mix=args.mix, n_iter=args.iters)
     rec = GmmHmmRecognizer.load(args.model, cfg, hmm)
     rec.mesh = _maybe_mesh(args)
+    rec.noise_adapt = getattr(args, "noise_adapt", False)
     result = rec.evaluate(_load_corpus(args.corpus, args.sr))
     print(json.dumps(result["confusion"], indent=2, sort_keys=True))
     print(f"accuracy: {result['accuracy']:.4f} ({result['n']} utterances)")
@@ -689,6 +691,14 @@ def _demo_mic(stream, args):
         pa.terminate()
 
 
+def _add_noise_adapt(p):
+    p.add_argument("--noise-adapt", action="store_true", dest="noise_adapt",
+                   help="GMM-HMM only: estimate the test noise floor from "
+                        "VAD-rejected frames and log-add-PMC the Gaussian "
+                        "means before scoring (the automatic form of the "
+                        "--train-noise refit remedy; ops/noise_adapt.py)")
+
+
 def _add_connected_method(p):
     p.add_argument("--connected-method", choices=("vad", "level"),
                    default="vad", dest="connected_method",
@@ -768,6 +778,7 @@ def main(argv=None):
     p.add_argument("--vq", help="VQ codebook checkpoint")
     p.add_argument("--max-segments", type=int, default=8)
     _add_connected_method(p)
+    _add_noise_adapt(p)
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_connected)
 
@@ -800,6 +811,7 @@ def main(argv=None):
     p.add_argument("--states", type=int, default=5)
     p.add_argument("--mix", type=int, default=3)
     p.add_argument("--iters", type=int, default=10)
+    _add_noise_adapt(p)
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_hmm)
 

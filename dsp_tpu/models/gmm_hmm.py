@@ -474,13 +474,20 @@ class GmmHmmRecognizer:
     """Word-per-HMM recognizer mirroring the KnnDtwRecognizer surface."""
 
     def __init__(self, cfg: PipelineConfig = PipelineConfig(),
-                 hmm: HmmConfig = HmmConfig(), mesh=None):
+                 hmm: HmmConfig = HmmConfig(), mesh=None,
+                 noise_adapt: bool = False):
         self.cfg = cfg
         self.hmm = hmm
         self.mesh = mesh                       # data-parallel decode mesh
         self.mats = fe.make_matrices(cfg.frontend)
         self.labels: list[str] = []
         self.params: HmmParams | None = None   # stacked [W, ...]
+        # automatic noise-mismatch compensation (ops/noise_adapt.py):
+        # estimate the test batch's noise floor from VAD-rejected frames
+        # and log-add-PMC the Gaussian means before scoring — the
+        # automatic form of the manual --train-noise refit remedy
+        # (docs/RESULTS.md connected-WER matrix; VERDICT r3 #5)
+        self.noise_adapt = noise_adapt
 
     def _pad_signals(self, signals):
         return pl.pad_signals(signals, self.cfg.max_samples)
@@ -541,15 +548,39 @@ class GmmHmmRecognizer:
                 sj = jax.device_put(sj, NamedSharding(mesh, P(BANK_AXIS)))
         self.params = fit_words_batched(fj, lj, sj, self.hmm, prior)
 
+    def _params_for(self, signals) -> HmmParams:
+        """The scoring params: stored, or PMC-adapted to ``signals``'s
+        estimated noise floor when ``noise_adapt`` is on."""
+        if not self.noise_adapt:
+            return self.params
+        from dsp_tpu.ops.noise_adapt import (estimate_noise_cepstrum,
+                                             pmc_adapt_means, pmc_supported)
+
+        reason = pmc_supported(self.cfg.frontend)
+        if reason:
+            raise ValueError(f"noise_adapt unavailable: {reason}")
+        if self.mesh is not None:
+            raise ValueError("noise_adapt with a mesh is not supported "
+                             "yet — clear the mesh or adapt offline")
+        quantum = self.cfg.max_samples
+        n_len = max(1, max(len(np.asarray(s)) for s in signals))
+        x, n = pl.pad_signals(signals, quantum * -(-n_len // quantum))
+        noise_c, _ = estimate_noise_cepstrum(
+            x, n, self.mats, self.cfg.frontend, self.cfg.vad)
+        means = pmc_adapt_means(self.params.means, noise_c, self.mats,
+                                self.cfg.frontend)
+        return self.params._replace(means=means)
+
     def classify_batch(self, signals, return_scores: bool = False):
         if self.params is None:
             raise ValueError("model not fitted")
         if self.mesh is not None:
             scores = self._score_sharded(signals)              # [B, W] np
         else:
+            params = self._params_for(signals)
             feats = self.extract(signals)
             scores = np.asarray(
-                score_words(feats.feats, feats.length, self.params))
+                score_words(feats.feats, feats.length, params))
         ids = scores.argmax(axis=-1)
         labels = [self.labels[int(i)] for i in ids]
         if return_scores:
@@ -562,12 +593,14 @@ class GmmHmmRecognizer:
         Connected-word decoding for the HMM family: the shared
         multi-segment VAD split (pipeline.decode_connected) feeds every
         segment through the same batched Viterbi scorer as
-        ``classify_batch``.
+        ``classify_batch`` (with ``noise_adapt``, through PMC-adapted
+        params estimated from the recordings themselves).
         """
         if self.params is None:
             raise ValueError("model not fitted")
+        params = self._params_for(signals) if len(signals) else self.params
         score = lambda flat: np.asarray(
-            score_words(flat.feats, flat.length, self.params)).argmax(-1)
+            score_words(flat.feats, flat.length, params)).argmax(-1)
         return pl.decode_connected(
             signals, self.mats, self.cfg, max_segments, score,
             lambda ids: [self.labels[int(i)] for i in ids])[0]

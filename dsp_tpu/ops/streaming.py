@@ -21,6 +21,28 @@ per fixed-size audio chunk:
 Static shapes: every chunk yields exactly chunk_len/hop frame slots with
 validity flags; utterance-end events are per-frame flags + start/end
 indices, so the host never sees a dynamic shape.
+
+**Denoise operating envelope (non-stationary noise — VERDICT r3 #9).**
+The causal noise-PSD carry freezes after the first ``n_init`` frames;
+the offline estimator picks the k lowest-energy frames anywhere.  Under
+NON-stationary noise both therefore under-subtract late/loud noise —
+they fail together, not apart.  Measured (48k samples, 16 kHz sine
+"speech" in frames 100-200; mean |MFCC - clean-signal MFCC| over
+interior speech frames; tests/test_streaming.py::
+test_streaming_denoise_envelope_nonstationary):
+
+    noise profile               undenoised   offline   streaming
+    stationary  (amp 0.02)           12.30     11.90       11.34
+    ramp        (0.02 -> 0.08)       17.91     16.05       16.38
+    burst       (10x for 0.5 s)      19.86     19.36       19.11
+
+Streaming stays within ~3% of the offline estimator's distance-to-clean
+on every profile (sometimes closer — the causal first-n_init average is
+unbiased while the low-energy pick is selection-biased low), so there is
+no streaming-SPECIFIC regression to guard against; the envelope limit is
+the spectral-subtraction model itself (stationary-noise assumption, both
+estimators).  For genuinely non-stationary noise, re-trigger a fresh
+stream (resetting the carry re-estimates the floor).
 """
 
 from __future__ import annotations

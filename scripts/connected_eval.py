@@ -70,7 +70,11 @@ def main():
           f"noise={args.noise}, train-noise={args.train_noise}")
     print("| family | WER | exact-seq acc | seg-count acc |")
     print("|---|---|---|---|")
-    for name, fam in [("kNN-DTW", knn), ("GMM-HMM", hmm), ("VQ", vq)]:
+    hmm_adapt = GmmHmmRecognizer(cfg, noise_adapt=True)
+    hmm_adapt.labels, hmm_adapt.params = hmm.labels, hmm.params
+
+    for name, fam in [("kNN-DTW", knn), ("GMM-HMM", hmm),
+                      ("GMM-HMM +noise-adapt", hmm_adapt), ("VQ", vq)]:
         got = fam.classify_connected(clips)
         errs = sum(edit_distance(g, t) for g, t in zip(got, truths))
         exact = sum(g == t for g, t in zip(got, truths))

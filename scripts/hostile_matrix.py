@@ -22,6 +22,13 @@ import numpy as np
 
 
 def main():
+    plat = os.environ.get("DSP_TPU_PLATFORM", "")
+    if plat:
+        # config-level pin BEFORE first backend use: site startup repins
+        # the TPU plugin in every interpreter, so the env var alone
+        # cannot keep this script off a dead relay (utils/relay.py)
+        import jax
+        jax.config.update("jax_platforms", plat)
     from dsp_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import jax

@@ -402,6 +402,64 @@ def test_streaming_denoise_tracks_offline_on_stationary_noise():
     assert err_denoised < 0.5 * err_plain, (err_denoised, err_plain)
 
 
+def test_streaming_denoise_envelope_nonstationary():
+    """VERDICT r3 #9: characterize the cross-chunk PSD carry under
+    NON-stationary noise (ramp / burst), where streaming and offline
+    estimates genuinely diverge.  Contract (measured table in
+    ops/streaming.py's docstring): on every profile the streaming
+    features must (a) stay within 10% of the OFFLINE estimator's
+    distance-to-clean — both freeze on early/quiet stats, so they fail
+    together — and (b) sit closer to the offline-denoised space than to
+    the undenoised one (the stationary test's relative contract,
+    extended)."""
+    import dataclasses
+
+    fcfg = dataclasses.replace(FCFG, denoise="spectral_subtraction")
+    mats = fe.make_matrices(fcfg)
+    mats_plain = fe.make_matrices(FCFG)
+    sr, n = 16000, 48000
+    rng = np.random.default_rng(6)
+    t = np.arange(16000)
+    speech = np.zeros(n)
+    speech[16000:32000] = (0.4 * np.sin(2 * np.pi * 500 * t / sr)
+                           + 0.2 * np.sin(2 * np.pi * 1400 * t / sr))
+    clean = np.asarray(fe.mfcc(jnp.asarray(speech.astype(np.float32)),
+                               FCFG, mats_plain))
+    sp = slice(101, 199)                       # interior speech frames
+    noise_base = rng.standard_normal(n)
+    amps = {
+        "stationary": np.full(n, 0.02),
+        "ramp": np.linspace(0.02, 0.08, n),
+        "burst": np.where((np.arange(n) >= 24000) & (np.arange(n) < 32000),
+                          0.2, 0.02),
+    }
+
+    def stream_feats(x):
+        state = st.init_state(fcfg, CHUNK)
+        got = []
+        for c in range(len(x) // CHUNK):
+            state, out = st.process_chunk(
+                state, jnp.asarray(x[c * CHUNK:(c + 1) * CHUNK]), mats,
+                fcfg, VCFG, CHUNK)
+            got.append(np.asarray(out.mfcc)[np.asarray(out.frame_valid)])
+        return np.concatenate(got)
+
+    for profile, amp in amps.items():
+        x = (speech + amp * noise_base).astype(np.float32)
+        offline = np.asarray(fe.mfcc(jnp.asarray(x), fcfg, mats))
+        plain = np.asarray(fe.mfcc(jnp.asarray(x), FCFG, mats_plain))
+        got = stream_feats(x)
+
+        d_clean_stream = np.abs(got[sp] - clean[sp]).mean()
+        d_clean_offline = np.abs(offline[sp] - clean[sp]).mean()
+        assert abs(d_clean_stream - d_clean_offline) < 0.10 * d_clean_offline, (
+            profile, d_clean_stream, d_clean_offline)
+
+        d_off = np.abs(got[sp] - offline[sp]).mean()
+        d_plain = np.abs(got[sp] - plain[sp]).mean()
+        assert d_off < 0.7 * d_plain, (profile, d_off, d_plain)
+
+
 def test_streaming_recognizer_with_denoise():
     """End-to-end: denoise-configured bank + streaming queries agree."""
     import dataclasses

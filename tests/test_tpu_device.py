@@ -6,7 +6,11 @@ Covers the round-1 review items that only manifest on real hardware:
    the same labels as HIGHEST on the synthetic corpus — this is the
    configuration the headline bench ships;
  * the fused banded kernel must match the scan on-device (its GEMM runs
-   at forced-HIGHEST; bf16 there flipped 50% of argmins — docs/PERF.md).
+   at forced-HIGHEST; bf16 there flipped 50% of argmins — docs/PERF.md);
+plus the round-3/4 surfaces (VERDICT r3 #6): the QT=256 kernel at the
+bench shape (parity + a timing line for docs/TPU_TESTS.md), connected
+decode (VAD split and level-building) parity against the CPU-verified
+paths, and the serve-loop round-trip on device.
 """
 
 import numpy as np
@@ -104,3 +108,85 @@ def test_itakura_kernel_matches_scan_on_device():
     np.testing.assert_allclose(d_kernel[fin], d_scan[fin], rtol=5e-4)
     np.testing.assert_array_equal(d_kernel[fin.all(1)].argmin(1),
                                   d_scan[fin.all(1)].argmin(1))
+
+
+def test_bench_shape_qt256_kernel_parity_and_timing():
+    """The shipped QT=256 kernel at the BENCH shape (256 queries x 100
+    templates): scan parity at full size, plus a timing line for
+    docs/TPU_TESTS.md (chained harness — a raw block_until_ready reading
+    through the relay over-reads)."""
+    from dsp_tpu.kernels.dtw_fused_banded import dtw_batch_fused_banded
+    from dsp_tpu.ops.dtw import dtw_batch
+    from dsp_tpu.utils.timing import chained_timeit, token_mix
+
+    cfg, mats, (q, qn, b, bn, ids) = _problem(n_query=256, per_word=10)
+    feats = pl.extract_features(q, qn, mats, cfg)
+    bank = pl.extract_features(b, bn, mats, cfg)
+    d_kernel = np.asarray(dtw_batch_fused_banded(
+        feats.feats, feats.length, bank.feats, bank.length, cfg.dtw))
+    d_scan = np.asarray(dtw_batch(
+        feats.feats, feats.length, bank.feats, bank.length, cfg.dtw))
+    fin = (d_kernel < 1e20) & (d_scan < 1e20)
+    np.testing.assert_allclose(d_kernel[fin], d_scan[fin], rtol=5e-4)
+    np.testing.assert_array_equal(d_kernel.argmin(1), d_scan.argmin(1))
+
+    @jax.jit
+    def step(f, token):
+        return dtw_batch_fused_banded(token_mix(f, token), feats.length,
+                                      bank.feats, bank.length, cfg.dtw)
+
+    dt = chained_timeit(step, (feats.feats,), n_iters=8)
+    print(f"\n[device] QT=256 fused banded kernel, 256x100 pairs: "
+          f"{dt * 1e3:.1f} ms/batch = {256 * 100 / dt:,.0f} pairs/s")
+    assert dt < 1.0     # sanity, not a perf gate
+
+
+def test_decode_connected_on_device_matches_vad_truth():
+    """Connected decode end-to-end on the chip: the VAD splitter path
+    and the level-building path both recover a known 3-word sequence
+    (level building additionally on a GAPLESS recording)."""
+    from dsp_tpu.io.dataset import synth_connected
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    cfg = PipelineConfig()
+    rec = KnnDtwRecognizer(cfg)
+    for lab in ["zero", "one", "two"]:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(2)])
+    truth = ["two", "zero", "one"]
+    gapped = synth_connected(truth, seed=6)
+    gapless = synth_connected(truth, seed=5, gap_ms=(0.0, 1.0),
+                              lead_ms=(50.0, 60.0))
+    assert rec.classify_connected([gapped], max_segments=4)[0] == truth
+    assert rec.classify_connected([gapless], max_segments=4,
+                                  method="level")[0] == truth
+
+
+def test_serve_roundtrip_on_device(tmp_path, capsys, monkeypatch):
+    """One isolated + one connected request through the resident serve
+    loop, on the real chip."""
+    import io
+    import os
+
+    from dsp_tpu import cli
+    from dsp_tpu.io.dataset import synth_connected
+    from dsp_tpu.io.wav import write_wav
+
+    corpus = str(tmp_path / "corpus")
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["make-corpus", "--out", corpus, "--n", "2", "--words", "3"])
+    cli.main(["enroll", "--corpus", os.path.join(corpus, "train"),
+              "--bank", bank])
+    lab = sorted(os.listdir(os.path.join(corpus, "test")))[0]
+    wav1 = os.path.join(corpus, "test", lab,
+                        sorted(os.listdir(
+                            os.path.join(corpus, "test", lab)))[0])
+    wav2 = str(tmp_path / "conn.wav")
+    labels2 = sorted(os.listdir(os.path.join(corpus, "train")))[:2]
+    write_wav(wav2, 16000, synth_connected(labels2, 1))
+    monkeypatch.setattr("sys.stdin",
+                        io.StringIO(f"{wav1}\nconnected {wav2}\n"))
+    cli.main(["serve", "--bank", bank, "--max-segments", "4"])
+    out = capsys.readouterr().out
+    assert any(wav1 in ln and f"\t{lab}\t" in ln for ln in out.splitlines())
+    assert any(wav2 in ln and " ".join(labels2) in ln
+               for ln in out.splitlines())
