@@ -239,9 +239,10 @@ class KnnDtwRecognizer:
         are chosen JOINTLY by dynamic programming against the template
         bank, so coarticulated/GAPLESS recordings decode correctly
         (``max_segments`` caps the word count; ``word_penalty`` biases
-        it, 0 = pure distance).  Not available with a mesh or the
-        ltw/cascade matchers (the DP aligns raw frames against the
-        full bank).
+        it, 0 = pure distance).  With ``mesh`` set the DP runs
+        bank-sharded (parallel/sharding.py:level_build_sharded).  The
+        ltw/cascade matchers do not apply (the DP aligns raw frames
+        against the full bank).
 
         Recordings may be longer than ``cfg.max_samples`` — they are
         padded to a whole multiple of it so compile shapes stay
@@ -255,12 +256,19 @@ class KnnDtwRecognizer:
         """
         if method == "level":
             if self.mesh is not None:
-                raise ValueError("method='level' does not support a mesh "
-                                 "yet — clear the mesh or use method='vad'")
-            bank, ids = self.device_bank()
-            id_lists, costs = pl.decode_connected_level(
-                signals, self.mats, self.cfg, bank, ids,
-                max_levels=max_segments, word_penalty=word_penalty)
+                # bank-sharded DP over the mesh (parallel/sharding.py:
+                # level_build_sharded) — same results as single-device
+                bf, bl, ids_r, valid = self.sharded_bank()
+                id_lists, costs = pl.decode_connected_level(
+                    signals, self.mats, self.cfg, pl.Features(bf, bl),
+                    np.asarray(ids_r), max_levels=max_segments,
+                    word_penalty=word_penalty, mesh=self.mesh,
+                    bank_valid=valid)
+            else:
+                bank, ids = self.device_bank()
+                id_lists, costs = pl.decode_connected_level(
+                    signals, self.mats, self.cfg, bank, ids,
+                    max_levels=max_segments, word_penalty=word_penalty)
             out = [self._ids_to_labels(np.asarray(ids_i, np.int32))
                    for ids_i in id_lists]
             if return_segments:

@@ -80,6 +80,55 @@ def _shift_j(x: jax.Array, by: int, fill):
         [jnp.full((x.shape[0], by), fill, x.dtype), x[:, :-by]], axis=1)
 
 
+def level_pass(c: jax.Array, prev: jax.Array, lens_idx: jax.Array,
+               word_penalty: jax.Array):
+    """ONE level of the DP for one recording.
+
+    Args: cost tensor ``c [T, K, U]``, previous level's ``prev [T+1]``
+    (``prev[s]`` = best cost of the earlier levels consuming exactly
+    ``s`` frames), ``lens_idx [K, 1]`` = template end indices.
+
+    Returns per query frame ``(cost [T], word [T] local template index,
+    start [T])``.  Shared by the single-device scan-of-scans below and
+    the bank-sharded mesh path (parallel/sharding.py:
+    level_build_sharded), which reduces these [T] triples across bank
+    shards between levels.
+    """
+    t_frames, k, u = c.shape
+    entry_costs = prev[:t_frames] + word_penalty                # [T]
+
+    def step(carry, inp):
+        dp, tok = carry                                         # [K,U]
+        c_t, e_t, t = inp
+        entry = jnp.full((k, u), BIG, jnp.float32).at[:, 0].set(e_t)
+        cands = jnp.stack([dp,
+                           _shift_j(dp, 1, BIG),
+                           _shift_j(dp, 2, BIG),
+                           entry])                              # [4, K, U]
+        toks = jnp.stack([tok,
+                          _shift_j(tok, 1, 0),
+                          _shift_j(tok, 2, 0),
+                          jnp.full((k, u), t, jnp.int32)])
+        sel = jnp.argmin(cands, axis=0)                         # [K, U]
+        dp = jnp.min(cands, axis=0) + c_t
+        # finite-BIG discipline: several masked candidates can stack
+        # (BIG + BIG local costs) — clamp so the carry never drifts
+        # toward f32 overflow over long scans
+        dp = jnp.minimum(dp, BIG)
+        tok = jnp.take_along_axis(toks, sel[None], axis=0)[0]
+        ends = jnp.take_along_axis(dp, lens_idx, axis=1)[:, 0]
+        best_v = jnp.argmin(ends)                               # scalar
+        out = (ends[best_v], best_v.astype(jnp.int32),
+               jnp.take_along_axis(tok, lens_idx, axis=1)[:, 0][best_v])
+        return (dp, tok), out
+
+    init = (jnp.full((k, u), BIG, jnp.float32),
+            jnp.zeros((k, u), jnp.int32))
+    (_, _), (cost_t, v_t, s_t) = jax.lax.scan(
+        step, init, (c, entry_costs, jnp.arange(t_frames, dtype=jnp.int32)))
+    return cost_t, v_t, s_t
+
+
 @functools.partial(jax.jit, static_argnames=("max_levels", "squared",
                                              "precision"))
 def level_build(q_feats: jax.Array, q_lens: jax.Array,
@@ -113,43 +162,11 @@ def level_build(q_feats: jax.Array, q_lens: jax.Array,
     def one(q, _qlen):
         c = local_costs(q, bank_feats, bank_lens, squared, precision)
         t_frames = c.shape[0]
-        k, u = c.shape[1], c.shape[2]
 
         def level(prev, _):
             # prev: [T+1], prev[s] = best cost of the previous levels
             # consuming exactly s query frames (prev[0]=0 at level 0)
-            entry_costs = prev[:t_frames] + word_penalty       # [T]
-
-            def step(carry, inp):
-                dp, tok = carry                                # [K,U] f32/i32
-                c_t, e_t, t = inp
-                entry = jnp.full((k, u), BIG, jnp.float32).at[:, 0].set(e_t)
-                cands = jnp.stack([dp,
-                                   _shift_j(dp, 1, BIG),
-                                   _shift_j(dp, 2, BIG),
-                                   entry])                     # [4, K, U]
-                toks = jnp.stack([tok,
-                                  _shift_j(tok, 1, 0),
-                                  _shift_j(tok, 2, 0),
-                                  jnp.full((k, u), t, jnp.int32)])
-                sel = jnp.argmin(cands, axis=0)                # [K, U]
-                dp = jnp.min(cands, axis=0) + c_t
-                # finite-BIG discipline: several masked candidates can
-                # stack (BIG + BIG local costs) — clamp so the carry
-                # never drifts toward f32 overflow over long scans
-                dp = jnp.minimum(dp, BIG)
-                tok = jnp.take_along_axis(toks, sel[None], axis=0)[0]
-                ends = jnp.take_along_axis(dp, lens_idx, axis=1)[:, 0]
-                best_v = jnp.argmin(ends)                      # scalar
-                out = (ends[best_v], best_v.astype(jnp.int32),
-                       jnp.take_along_axis(tok, lens_idx, axis=1)[:, 0][best_v])
-                return (dp, tok), out
-
-            init = (jnp.full((k, u), BIG, jnp.float32),
-                    jnp.zeros((k, u), jnp.int32))
-            (_, _), (cost_t, v_t, s_t) = jax.lax.scan(
-                step, init,
-                (c, entry_costs, jnp.arange(t_frames, dtype=jnp.int32)))
+            cost_t, v_t, s_t = level_pass(c, prev, lens_idx, word_penalty)
             # next level's prev: consuming 0 frames is impossible once
             # any word has been decoded
             nxt = jnp.concatenate([jnp.asarray([BIG], jnp.float32), cost_t])

@@ -109,9 +109,94 @@ def classify_sharded(
         label_ids = pl.vote_topk(top_d, jnp.take(bank_label_ids, top_idx),
                                  n_labels)
     else:
-        label_ids = jnp.take(bank_label_ids, top_idx[:, 0])
+        # same all-dead sentinel as classify_features' k=1 branch (ADVICE
+        # r3): a row whose best candidate is still >= 1e20 (normalized
+        # itakura-unreachable ~2.5e27, or raw BIG mesh padding) has no
+        # information and must not elect template 0's label
+        label_ids = jnp.where(top_d[:, 0] < 1e20,
+                              jnp.take(bank_label_ids, top_idx[:, 0]), -1)
     dist = out[2] if return_full else top_d[:, 0]
     return label_ids, dist
+
+
+def level_build_sharded(
+    mesh: Mesh,
+    q_feats: jax.Array, q_lens: jax.Array,
+    bank: jax.Array, bank_lens: jax.Array,
+    bank_valid: jax.Array | None = None,
+    max_levels: int = 8,
+    word_penalty: float = 0.0,
+    squared: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Level-building connected decode over a ('data','bank') mesh.
+
+    Within a level every template is INDEPENDENT (ops/level_building.py:
+    level_pass) — the only cross-template coupling is the per-frame min
+    that builds the next level's entry costs.  So the bank shards run
+    their local DP scans entirely on-chip and the per-LEVEL reduction is
+    an all_gather of three [T] vectors per query per bank shard over ICI
+    (cost / local-argmin template / start pointer), followed by an
+    elementwise argmin — never the [K, U] DP state.  max_levels such
+    reductions per recording, each O(T) scalars: communication is
+    negligible next to the O(T·K·U/nb) local compute.
+
+    Shapes: q_feats [B, T, F] with B divisible by the 'data' size; bank
+    [K, U, F] with K divisible by the 'bank' size (pad with
+    ``bank_valid=False`` rows — they are masked to BIG and can never be
+    selected).  Returns (costs, words, starts) [B, L, T] with GLOBAL
+    template indices, identical to the single-device level_build on the
+    valid rows (tests/test_sharding.py).
+    """
+    from dsp_tpu.ops.level_building import BIG as LB_BIG
+    from dsp_tpu.ops.level_building import level_pass, local_costs
+
+    if bank_valid is None:
+        bank_valid = jnp.ones(bank.shape[0], dtype=bool)
+    penalty = jnp.asarray(word_penalty, jnp.float32)
+
+    def local(q, ql, b, bl, bv):
+        kl = b.shape[0]
+        lens_idx = (jnp.maximum(bl, 1) - 1)[:, None]            # [Kl, 1]
+        offset = jax.lax.axis_index(BANK_AXIS) * kl
+
+        def one(qi):
+            c = local_costs(qi, b, bl, squared, precision)      # [T, Kl, U]
+            c = jnp.where(bv[None, :, None], c, LB_BIG)         # pad rows dead
+            t_frames = c.shape[0]
+
+            def level(prev, _):
+                cost_l, v_l, s_l = level_pass(c, prev, lens_idx, penalty)
+                # cross-shard reduce: 3 x [T] per bank shard over ICI
+                costs = jax.lax.all_gather(cost_l, BANK_AXIS)   # [nb, T]
+                vs = jax.lax.all_gather(v_l + offset, BANK_AXIS)
+                ss = jax.lax.all_gather(s_l, BANK_AXIS)
+                which = jnp.argmin(costs, axis=0)               # [T]
+                cost_t = jnp.min(costs, axis=0)
+                v_t = jnp.take_along_axis(vs, which[None], axis=0)[0]
+                s_t = jnp.take_along_axis(ss, which[None], axis=0)[0]
+                nxt = jnp.concatenate([jnp.asarray([LB_BIG], jnp.float32),
+                                       cost_t])
+                return nxt, (cost_t, v_t, s_t)
+
+            prev0 = jnp.full((t_frames + 1,), LB_BIG,
+                             jnp.float32).at[0].set(0.0)
+            _, out = jax.lax.scan(level, prev0, None, length=max_levels)
+            return out
+
+        return jax.vmap(one)(q)
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(BANK_AXIS), P(BANK_AXIS),
+                  P(BANK_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        # the all_gather+argmin replicates the outputs over 'bank', which
+        # the static checker cannot infer (same as classify_sharded)
+        check_vma=False,
+    )
+    return mapped(q_feats, q_lens, bank, bank_lens, bank_valid)
 
 
 def recognize_sharded(

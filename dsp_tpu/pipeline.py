@@ -478,7 +478,8 @@ def decode_connected_level(signals, mats: fe.FrontendMatrices,
                            bank: Features, bank_label_ids,
                            max_levels: int = 8,
                            word_penalty: float = 0.0,
-                           precision=jax.lax.Precision.HIGHEST):
+                           precision=jax.lax.Precision.HIGHEST,
+                           mesh=None, bank_valid=None):
     """Level-building connected decode over host recordings (GAPLESS ok).
 
     The algorithmic alternative to :func:`decode_connected`'s VAD
@@ -486,6 +487,12 @@ def decode_connected_level(signals, mats: fe.FrontendMatrices,
     joint DP, not an energy detector, so coarticulated/gapless speech
     decodes correctly.  Template-bank families only (the DP aligns
     query frames against templates).
+
+    With ``mesh`` the DP runs bank-sharded over a ('data','bank') mesh
+    (parallel/sharding.py:level_build_sharded — per-level [T]-vector
+    reductions over ICI); ``bank`` must then already be padded to the
+    bank-axis multiple with ``bank_valid`` marking real rows, and the
+    recording batch is padded to the data-axis multiple with repeats.
 
     Returns ``(label_id_lists, costs)``: per recording the decoded
     template LABEL ids (empty when nothing is reachable) and the raw DP
@@ -512,15 +519,37 @@ def decode_connected_level(signals, mats: fe.FrontendMatrices,
     for pad_len, idxs in groups.items():
         t_max = max(1, 1 + (pad_len - f.frame_len) // f.hop_len)
         x, n = pad_signals([signals[i] for i in idxs], pad_len)
-        feats = extract_recording_features(x, n, mats, cfg, t_max, precision)
-        costs, words, starts = level_build(
-            feats.feats, feats.length, bank.feats, bank.length,
-            max_levels=max_levels, word_penalty=word_penalty,
-            squared=cfg.dtw.squared, precision=precision)
-        costs = np.asarray(costs)
-        words = np.asarray(words)
-        starts = np.asarray(starts)
-        lens = np.asarray(feats.length)
+        if mesh is not None:
+            from dsp_tpu import parallel as par
+            from dsp_tpu.parallel.sharding import level_build_sharded
+
+            nd = mesh.shape[par.DATA_AXIS]
+            xp, b_orig = par.pad_axis_to_multiple(np.asarray(x), nd)
+            np_, _ = par.pad_axis_to_multiple(np.asarray(n), nd)
+            np_ = np.maximum(np_, 1)
+            feats = extract_recording_features(
+                jnp.asarray(xp), jnp.asarray(np_), mats, cfg, t_max,
+                precision)
+            costs, words, starts = level_build_sharded(
+                mesh, feats.feats, feats.length, bank.feats, bank.length,
+                bank_valid, max_levels=max_levels,
+                word_penalty=word_penalty, squared=cfg.dtw.squared,
+                precision=precision)
+            costs = np.asarray(costs)[:b_orig]
+            words = np.asarray(words)[:b_orig]
+            starts = np.asarray(starts)[:b_orig]
+            lens = np.asarray(feats.length)[:b_orig]
+        else:
+            feats = extract_recording_features(x, n, mats, cfg, t_max,
+                                               precision)
+            costs, words, starts = level_build(
+                feats.feats, feats.length, bank.feats, bank.length,
+                max_levels=max_levels, word_penalty=word_penalty,
+                squared=cfg.dtw.squared, precision=precision)
+            costs = np.asarray(costs)
+            words = np.asarray(words)
+            starts = np.asarray(starts)
+            lens = np.asarray(feats.length)
         for row, i in enumerate(idxs):
             seq, cost = backtrack(costs[row], words[row], starts[row],
                                   int(lens[row]))

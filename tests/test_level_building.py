@@ -125,18 +125,6 @@ def test_gapless_recording_level_beats_vad_splitter():
                                   method="level")[0] == truth
 
 
-def test_level_method_rejects_mesh():
-    from dsp_tpu.config import PipelineConfig
-    from dsp_tpu.io.dataset import synth_word
-    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
-
-    rec = KnnDtwRecognizer(PipelineConfig())
-    rec.enroll("zero", [synth_word("zero", 0)])
-    rec.mesh = object()
-    with pytest.raises(ValueError, match="mesh"):
-        rec.classify_connected([synth_word("zero", 1)], method="level")
-
-
 def test_word_penalty_prefers_fewer_words():
     """Two identical adjacent words: with a huge per-word penalty a
     single long template (the two concatenated) must win over two

@@ -209,6 +209,89 @@ def test_hmm_mesh_decode_matches_single_device():
     np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (8, 1)])
+def test_level_build_sharded_matches_single_device(shape):
+    """Bank-sharded level building: per-level [T]-vector reduction over
+    the bank axis must reproduce the single-device DP exactly (costs
+    bit-comparable, words/starts equal on live cells)."""
+    from dsp_tpu.ops.level_building import BIG, level_build
+    from dsp_tpu.parallel.sharding import level_build_sharded
+
+    rng = np.random.default_rng(4)
+    b, k, t, u, f = 8, 8, 20, 10, 5
+    q = rng.standard_normal((b, t, f)).astype(np.float32)
+    bank = rng.standard_normal((k, u, f)).astype(np.float32)
+    ql = np.full(b, t, np.int32)
+    bl = rng.integers(4, u + 1, size=k).astype(np.int32)
+
+    want_c, want_w, want_s = level_build(
+        jnp.asarray(q), jnp.asarray(ql), jnp.asarray(bank), jnp.asarray(bl),
+        max_levels=4, word_penalty=0.2)
+    mesh = par.make_mesh(*shape)
+    got_c, got_w, got_s = level_build_sharded(
+        mesh, jnp.asarray(q), jnp.asarray(ql), jnp.asarray(bank),
+        jnp.asarray(bl), max_levels=4, word_penalty=0.2)
+    want_c, got_c = np.asarray(want_c), np.asarray(got_c)
+    live = want_c < BIG / 2
+    np.testing.assert_array_equal(got_c < BIG / 2, live)
+    np.testing.assert_allclose(got_c[live], want_c[live], rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_w)[live],
+                                  np.asarray(want_w)[live])
+    np.testing.assert_array_equal(np.asarray(got_s)[live],
+                                  np.asarray(want_s)[live])
+
+
+def test_level_build_sharded_padded_bank():
+    """Padding templates (bank_valid=False) must never be selected."""
+    from dsp_tpu.ops.level_building import BIG, level_build
+    from dsp_tpu.parallel.sharding import level_build_sharded
+
+    rng = np.random.default_rng(5)
+    b, k, t, u, f = 4, 6, 16, 8, 4
+    q = rng.standard_normal((b, t, f)).astype(np.float32)
+    bank = rng.standard_normal((k, u, f)).astype(np.float32)
+    ql = np.full(b, t, np.int32)
+    bl = rng.integers(3, u + 1, size=k).astype(np.int32)
+
+    want_c, want_w, _ = level_build(
+        jnp.asarray(q), jnp.asarray(ql), jnp.asarray(bank), jnp.asarray(bl),
+        max_levels=3)
+    pad = np.zeros((2, u, f), np.float32)        # pad K 6 -> 8 for nb=4
+    bank_p = np.concatenate([bank, pad])
+    bl_p = np.concatenate([bl, np.ones(2, np.int32)])
+    valid = np.asarray([True] * k + [False] * 2)
+    mesh = par.make_mesh(2, 4)
+    got_c, got_w, _ = level_build_sharded(
+        mesh, jnp.asarray(q), jnp.asarray(ql), jnp.asarray(bank_p),
+        jnp.asarray(bl_p), jnp.asarray(valid), max_levels=3)
+    live = np.asarray(want_c) < BIG / 2
+    np.testing.assert_allclose(np.asarray(got_c)[live],
+                               np.asarray(want_c)[live], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_w)[live],
+                                  np.asarray(want_w)[live])
+    assert (np.asarray(got_w)[live] < k).all()   # pads never win
+
+
+def test_recognizer_level_method_with_mesh():
+    """classify_connected(method='level') routes through the bank-sharded
+    DP when a mesh is set and matches the single-device decode."""
+    from dsp_tpu.io.dataset import synth_connected, synth_word
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    rec = KnnDtwRecognizer(PipelineConfig())
+    for lab in ["zero", "one", "two"]:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(2)])
+    truth = ["two", "zero", "one"]
+    sigs = [synth_connected(truth, seed=5, gap_ms=(0.0, 1.0),
+                            lead_ms=(50.0, 60.0)),
+            synth_connected(["one", "two"], seed=9)]
+    want = rec.classify_connected(sigs, max_segments=4, method="level")
+    rec.mesh = par.make_mesh(2, 4)
+    got = rec.classify_connected(sigs, max_segments=4, method="level")
+    assert got == want == [truth, ["one", "two"]]
+
+
 def test_vq_mesh_scoring_matches_single_device():
     from dsp_tpu import parallel as par
     from dsp_tpu.config import PipelineConfig, VqConfig
