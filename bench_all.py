@@ -191,6 +191,26 @@ def main():
           metric="connected_words_per_sec_per_chip",
           unit="words/s/chip (multi-segment split + classify, 3-word clips)")
 
+    # ---- bonus: connected-word decoding, level-building DP ------------------
+    from dsp_tpu.ops.level_building import level_build
+
+    t_rec = max(1, 1 + (clen - cfg.frontend.frame_len) // cfg.frontend.hop_len)
+    conn_feats = pl.extract_recording_features(connj, clensj, mats, cfg,
+                                               t_rec)
+
+    @jax.jit
+    def level_step(f, token):
+        costs, words, starts = level_build(
+            token_mix(f, token), conn_feats.length, bank100.feats,
+            bank100.length, max_levels=4, word_penalty=0.0)
+        return costs
+
+    timed(level_step, (conn_feats.feats,), 4, n_conn * n_words,
+          config="connected-level",
+          metric="level_building_words_per_sec_per_chip",
+          unit="words/s/chip (gapless level-building DP, 3-word clips, "
+               "100-template bank)")
+
     # ---- bonus: linear-time-warp fast matcher ------------------------------
     @jax.jit
     def ltw(x, token):

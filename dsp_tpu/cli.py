@@ -190,13 +190,14 @@ def cmd_make_corpus(args):
         os.makedirs(d, exist_ok=True)
         rng = np.random.default_rng(2000)
         vocab = DIGITS[: max(1, args.words)]    # same clamp as the splits
+        gap_ms = (0.0, 1.0) if args.gapless else (250.0, 600.0)
         lines = []
         for i in range(args.connected):
             labs = [vocab[int(rng.integers(len(vocab)))]
                     for _ in range(int(rng.integers(1, 6)))]
             name = f"clip_{i:03d}.wav"
             write_wav(os.path.join(d, name), 16000,
-                      synth_connected(labs, 2000 + i))
+                      synth_connected(labs, 2000 + i, gap_ms=gap_ms))
             lines.append(f"{name}\t{' '.join(labs)}")
         with open(os.path.join(d, "labels.tsv"), "w") as f:
             f.write("\n".join(lines) + "\n")
@@ -327,10 +328,10 @@ def cmd_evaluate_connected(args):
             sigs.append(read_wav(os.path.join(args.corpus, name),
                                  cfg.frontend.sample_rate)[1])
     method = getattr(args, "connected_method", "vad")
-    if method != "vad" and not args.bank:
-        raise SystemExit("--connected-method level needs a template bank "
-                         "(--bank); the level-building DP aligns frames "
-                         "against templates")
+    if method != "vad" and args.vq:
+        raise SystemExit("--connected-method level supports --bank (level "
+                         "building) and --hmm (connected Viterbi); the VQ "
+                         "family has no frame-synchronous joint decoder")
     if method != "vad":
         got = rec.classify_connected(
             sigs, max_segments=args.max_segments, method=method,
@@ -703,9 +704,10 @@ def _add_connected_method(p):
     p.add_argument("--connected-method", choices=("vad", "level"),
                    default="vad", dest="connected_method",
                    help="connected decoder: 'vad' = silence-gap splitter "
-                        "(default); 'level' = level-building DP over the "
-                        "template bank — handles GAPLESS/coarticulated "
-                        "speech (kNN-DTW banks only)")
+                        "(default); 'level' = joint frame-synchronous DP "
+                        "— handles GAPLESS/coarticulated speech (template "
+                        "level building for --bank, connected Viterbi "
+                        "for --hmm)")
     p.add_argument("--word-penalty", type=float, default=0.0,
                    help="level-building per-word cost bias (0 = pure "
                         "distance; raise to discourage over-segmentation)")
@@ -731,6 +733,10 @@ def main(argv=None):
     p.add_argument("--connected", type=int, default=0, metavar="N",
                    help="also write N connected multi-word recordings + "
                         "labels.tsv manifest (for evaluate-connected)")
+    p.add_argument("--gapless", action="store_true",
+                   help="butt the connected words together with NO "
+                        "silence gaps (decode with --connected-method "
+                        "level; the VAD splitter cannot segment these)")
     p.add_argument("--hostile", action="store_true",
                    help="adversarial corpus: 35 confusable classes, "
                         "held-out test speakers (io/hostile.py)")

@@ -587,18 +587,46 @@ class GmmHmmRecognizer:
             return labels, scores
         return labels
 
-    def classify_connected(self, signals, max_segments: int = 8):
+    def classify_connected(self, signals, max_segments: int = 8,
+                           method: str = "vad",
+                           word_penalty: float = 0.0):
         """Recordings of SEVERAL words -> one label list per recording.
 
-        Connected-word decoding for the HMM family: the shared
-        multi-segment VAD split (pipeline.decode_connected) feeds every
-        segment through the same batched Viterbi scorer as
-        ``classify_batch`` (with ``noise_adapt``, through PMC-adapted
-        params estimated from the recordings themselves).
+        ``method="vad"`` (default): the shared multi-segment VAD split
+        (pipeline.decode_connected) feeds every segment through the same
+        batched Viterbi scorer as ``classify_batch`` — needs silence
+        gaps between words.
+
+        ``method="level"``: level-synchronous connected Viterbi
+        (ops/connected_viterbi.py) — word boundaries come out of the
+        joint DP through the word-HMM network, so GAPLESS recordings
+        decode correctly; ``max_segments`` caps the word count and
+        ``word_penalty`` (>= 0, subtracted per word) biases it.
+
+        Both compose with ``noise_adapt`` (PMC-adapted params estimated
+        from the recordings themselves).
         """
         if self.params is None:
             raise ValueError("model not fitted")
         params = self._params_for(signals) if len(signals) else self.params
+        if method == "level":
+            from dsp_tpu.ops.connected_viterbi import connected_viterbi
+
+            def dp_fn(feats):
+                scores, words, starts = connected_viterbi(
+                    feats.feats, feats.length, params,
+                    max_levels=max_segments, word_penalty=word_penalty)
+                # MIN-convention bridge: NEG_INF -> BIG for the shared
+                # backtrace (module docstring)
+                return -scores, words, starts
+
+            id_lists, _ = pl.decode_level_generic(
+                signals, self.mats, self.cfg, dp_fn,
+                np.arange(len(self.labels), dtype=np.int32))
+            return [[self.labels[int(i)] for i in ids] for ids in id_lists]
+        if method != "vad":
+            raise ValueError(f"unknown connected method {method!r} "
+                             "(vad | level)")
         score = lambda flat: np.asarray(
             score_words(flat.feats, flat.length, params)).argmax(-1)
         return pl.decode_connected(

@@ -499,13 +499,46 @@ def decode_connected_level(signals, mats: fe.FrontendMatrices,
     cost.  The local cost follows ``cfg.dtw.squared``; ``word_penalty``
     biases the word-count choice (0 = pure distance).
     """
-    from dsp_tpu.ops.level_building import backtrack, level_build
+    def dp_fn(feats):
+        if mesh is not None:
+            from dsp_tpu.parallel.sharding import level_build_sharded
+
+            return level_build_sharded(
+                mesh, feats.feats, feats.length, bank.feats, bank.length,
+                bank_valid, max_levels=max_levels,
+                word_penalty=word_penalty, squared=cfg.dtw.squared,
+                precision=precision)
+        from dsp_tpu.ops.level_building import level_build
+
+        return level_build(
+            feats.feats, feats.length, bank.feats, bank.length,
+            max_levels=max_levels, word_penalty=word_penalty,
+            squared=cfg.dtw.squared, precision=precision)
+
+    return decode_level_generic(signals, mats, cfg, dp_fn, bank_label_ids,
+                                precision, mesh=mesh)
+
+
+def decode_level_generic(signals, mats: fe.FrontendMatrices,
+                         cfg: PipelineConfig, dp_fn, word_ids,
+                         precision=jax.lax.Precision.HIGHEST, mesh=None):
+    """Shared driver for LEVEL-style connected decoders.
+
+    Handles length grouping (compile shapes stay quantised multiples of
+    ``cfg.max_samples``), whole-recording extraction, optional mesh
+    data-axis padding, and the host backtrace.  ``dp_fn(Features) ->
+    (costs, words, starts) [B, L, T]`` is the family's joint DP in the
+    MIN convention of ops/level_building.py (HMM callers negate their
+    log-liks — NEG_INF maps onto BIG exactly); ``word_ids`` maps DP word
+    indices to label ids.
+    """
+    from dsp_tpu.ops.level_building import backtrack
 
     if not len(signals):
         return [], np.zeros((0,), np.float32)
     quantum = cfg.max_samples
     f = cfg.frontend
-    ids_np = np.asarray(bank_label_ids)
+    ids_np = np.asarray(word_ids)
     out_ids, out_costs = [], []
     # recordings grouped by padded length so compile shapes stay
     # quantised; within a group, one jit call end-to-end
@@ -519,37 +552,21 @@ def decode_connected_level(signals, mats: fe.FrontendMatrices,
     for pad_len, idxs in groups.items():
         t_max = max(1, 1 + (pad_len - f.frame_len) // f.hop_len)
         x, n = pad_signals([signals[i] for i in idxs], pad_len)
+        b_orig = x.shape[0]
         if mesh is not None:
             from dsp_tpu import parallel as par
-            from dsp_tpu.parallel.sharding import level_build_sharded
 
             nd = mesh.shape[par.DATA_AXIS]
-            xp, b_orig = par.pad_axis_to_multiple(np.asarray(x), nd)
-            np_, _ = par.pad_axis_to_multiple(np.asarray(n), nd)
-            np_ = np.maximum(np_, 1)
-            feats = extract_recording_features(
-                jnp.asarray(xp), jnp.asarray(np_), mats, cfg, t_max,
-                precision)
-            costs, words, starts = level_build_sharded(
-                mesh, feats.feats, feats.length, bank.feats, bank.length,
-                bank_valid, max_levels=max_levels,
-                word_penalty=word_penalty, squared=cfg.dtw.squared,
-                precision=precision)
-            costs = np.asarray(costs)[:b_orig]
-            words = np.asarray(words)[:b_orig]
-            starts = np.asarray(starts)[:b_orig]
-            lens = np.asarray(feats.length)[:b_orig]
-        else:
-            feats = extract_recording_features(x, n, mats, cfg, t_max,
-                                               precision)
-            costs, words, starts = level_build(
-                feats.feats, feats.length, bank.feats, bank.length,
-                max_levels=max_levels, word_penalty=word_penalty,
-                squared=cfg.dtw.squared, precision=precision)
-            costs = np.asarray(costs)
-            words = np.asarray(words)
-            starts = np.asarray(starts)
-            lens = np.asarray(feats.length)
+            x, b_orig = par.pad_axis_to_multiple(np.asarray(x), nd)
+            n, _ = par.pad_axis_to_multiple(np.asarray(n), nd)
+            x = jnp.asarray(x)
+            n = jnp.asarray(np.maximum(n, 1))
+        feats = extract_recording_features(x, n, mats, cfg, t_max, precision)
+        costs, words, starts = dp_fn(feats)
+        costs = np.asarray(costs)[:b_orig]
+        words = np.asarray(words)[:b_orig]
+        starts = np.asarray(starts)[:b_orig]
+        lens = np.asarray(feats.length)[:b_orig]
         for row, i in enumerate(idxs):
             seq, cost = backtrack(costs[row], words[row], starts[row],
                                   int(lens[row]))

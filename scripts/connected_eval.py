@@ -28,6 +28,12 @@ def main():
                          "documented remedy for the HMM's clean-trained "
                          "emission mismatch, docs/RESULTS.md)")
     ap.add_argument("--seed", type=int, default=100)
+    ap.add_argument("--gapless", action="store_true",
+                    help="butt words together with NO silence gap — the "
+                         "case the VAD splitter cannot segment and "
+                         "level building exists for (VERDICT r3 #4)")
+    ap.add_argument("--word-penalty", type=float, default=0.0,
+                    help="level-building per-word cost bias")
     ap.add_argument("--platform", default="",
                     help="jax platform override, e.g. cpu (accuracy is "
                          "backend-independent; sitecustomize pins the "
@@ -49,13 +55,14 @@ def main():
     corpus = make_corpus(n_per_word=3, seed=0, noise=args.train_noise)
 
     rng = np.random.default_rng(args.seed)
+    gap_ms = ((0.0, 1.0) if args.gapless else (250.0, 600.0))
     truths, clips = [], []
     for i in range(args.clips):
         labs = [DIGITS[int(rng.integers(10))]
                 for _ in range(int(rng.integers(1, 6)))]
         truths.append(labs)
         clips.append(synth_connected(labs, args.seed + i,
-                                     noise=args.noise))
+                                     noise=args.noise, gap_ms=gap_ms))
 
     knn = KnnDtwRecognizer(cfg, k=1)
     for lab, xs in corpus.items():
@@ -67,20 +74,28 @@ def main():
 
     n_words = sum(len(t) for t in truths)
     print(f"# connected eval: {args.clips} clips, {n_words} words, "
-          f"noise={args.noise}, train-noise={args.train_noise}")
+          f"noise={args.noise}, train-noise={args.train_noise}, "
+          f"gaps={'NONE (gapless)' if args.gapless else 'normal'}")
     print("| family | WER | exact-seq acc | seg-count acc |")
     print("|---|---|---|---|")
     hmm_adapt = GmmHmmRecognizer(cfg, noise_adapt=True)
     hmm_adapt.labels, hmm_adapt.params = hmm.labels, hmm.params
 
-    for name, fam in [("kNN-DTW", knn), ("GMM-HMM", hmm),
-                      ("GMM-HMM +noise-adapt", hmm_adapt), ("VQ", vq)]:
-        got = fam.classify_connected(clips)
+    rows = [("kNN-DTW (vad split)", knn, {}),
+            ("kNN-DTW (level building)", knn,
+             {"method": "level", "word_penalty": args.word_penalty}),
+            ("GMM-HMM", hmm, {}),
+            ("GMM-HMM (connected Viterbi)", hmm,
+             {"method": "level", "word_penalty": args.word_penalty}),
+            ("GMM-HMM +noise-adapt", hmm_adapt, {}), ("VQ", vq, {})]
+    for name, fam, kw in rows:
+        got = fam.classify_connected(clips, **kw)
         errs = sum(edit_distance(g, t) for g, t in zip(got, truths))
         exact = sum(g == t for g, t in zip(got, truths))
         segs = sum(len(g) == len(t) for g, t in zip(got, truths))
         print(f"| {name} | {errs / n_words:.3f} | "
-              f"{exact / args.clips:.3f} | {segs / args.clips:.3f} |")
+              f"{exact / args.clips:.3f} | {segs / args.clips:.3f} |",
+              flush=True)
 
 
 if __name__ == "__main__":

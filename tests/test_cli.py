@@ -114,6 +114,23 @@ def test_make_corpus_connected_and_evaluate(tmp_path, capsys):
                   "--bank", bank, "--vq", vq])
 
 
+def test_make_corpus_gapless_and_evaluate_level(tmp_path, capsys):
+    """--gapless clips + evaluate-connected --connected-method level:
+    the full gapless workflow end-to-end through the CLI."""
+    d = str(tmp_path / "corpus")
+    cli.main(["make-corpus", "--out", d, "--n", "2", "--words", "3",
+              "--connected", "3", "--gapless"])
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(d, "train"),
+              "--bank", bank])
+    conn = os.path.join(d, "connected")
+    cli.main(["evaluate-connected", "--corpus", conn, "--bank", bank,
+              "--connected-method", "level"])
+    out = capsys.readouterr().out
+    wer = float(out.rsplit("wer:", 1)[1].split("(")[0])
+    assert wer <= 0.25
+
+
 def test_flag_sentinels_preserve_enrolled_config(corpus_dir, tmp_path,
                                                  capsys):
     """Regression: argparse defaults used to clobber a checkpoint's
