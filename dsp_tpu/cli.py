@@ -361,7 +361,9 @@ def cmd_serve(args):
     stays resident (persistent compile cache + device bank), so after
     the first request every call costs only the warm classify dispatch.
     Prefix a line with ``connected `` to decode a multi-word recording
-    via the segment splitter.  EOF ends the loop.
+    via the segment splitter, or with ``level `` to decode it with the
+    level-building DP (gapless speech — ops/level_building.py).  EOF
+    ends the loop.
     """
     import sys
     import time as _time
@@ -377,14 +379,19 @@ def cmd_serve(args):
         line = line.strip()
         if not line:
             continue
-        connected = line.startswith("connected ")
-        path = line[len("connected "):] if connected else line
+        mode = "single"
+        path = line
+        for prefix, m in (("connected ", "vad"), ("level ", "level")):
+            if line.startswith(prefix):
+                mode, path = m, line[len(prefix):]
+                break
         t0 = _time.perf_counter()
         try:
             x = read_wav(path, cfg.frontend.sample_rate)[1]
-            if connected:
+            if mode != "single":
                 label = " ".join(rec.classify_connected(
-                    [x], max_segments=args.max_segments)[0])
+                    [x], max_segments=args.max_segments, method=mode
+                    if mode == "level" else "vad")[0])
             else:
                 label = rec.recognize(x)
             ms = (_time.perf_counter() - t0) * 1e3

@@ -175,14 +175,19 @@ def test_serve_loop(corpus_dir, tmp_path, capsys, monkeypatch):
                            corpus_dir, "test", lab_dir)))[0])
     conn_wav = str(tmp_path / "serve_conn.wav")
     write_wav(conn_wav, 16000, synth_connected(labels[:2], 3))
+    gapless_wav = str(tmp_path / "serve_gapless.wav")
+    write_wav(gapless_wav, 16000,
+              synth_connected(labels[:2], 4, gap_ms=(0.0, 1.0)))
     monkeypatch.setattr("sys.stdin", io.StringIO(
-        f"{wav}\nconnected {conn_wav}\n{tmp_path}/missing.wav\n"))
+        f"{wav}\nconnected {conn_wav}\nlevel {gapless_wav}\n"
+        f"{tmp_path}/missing.wav\n"))
     cli.main(["serve", "--bank", bank])
     lines = capsys.readouterr().out.strip().splitlines()
     assert lines[0] == "ready"
     assert lines[1].split("\t")[1] == lab_dir
     assert lines[2].split("\t")[1] == " ".join(labels[:2])
-    assert "ERROR" in lines[3]
+    assert lines[3].split("\t")[1] == " ".join(labels[:2])   # gapless
+    assert "ERROR" in lines[4]
 
 
 def test_demo_synthetic_stream(corpus_dir, tmp_path, capsys):
