@@ -181,6 +181,146 @@ def level_build(q_feats: jax.Array, q_lens: jax.Array,
     return jax.vmap(one)(q_feats, q_lens)
 
 
+def level_pass_grammar(c: jax.Array, prev: jax.Array, mask: jax.Array,
+                       lens_idx: jax.Array, word_penalty: jax.Array):
+    """ONE grammar-constrained level for one recording.
+
+    Like :func:`level_pass`, but the per-frame output keeps the full
+    template axis — with a word-pair grammar the "best word ending at
+    frame t" depends on what FOLLOWS it, so the reduction to one
+    (cost, word, start) triple per frame is no longer sound.  ``prev``
+    is the previous level's ``[T+1, K]`` plane, ``mask [K, K]`` the
+    allowed (previous unit u -> this unit v) transitions; the entry
+    cost becomes a masked min-plus reduction over u (one [K, K] `where`
+    + min per frame, inside the scan — negligible next to the [K, U]
+    front update).  Returns ``(cost [T, K], start [T, K])``.
+    """
+    t_frames, k, u = c.shape
+
+    def step(carry, inp):
+        dp, tok = carry                                         # [K, U]
+        c_t, p_t, t = inp
+        e_t = jnp.min(jnp.where(mask, p_t[:, None], BIG), axis=0)
+        e_t = jnp.minimum(e_t + word_penalty, BIG)              # [K]
+        entry = jnp.full((k, u), BIG, jnp.float32).at[:, 0].set(e_t)
+        cands = jnp.stack([dp,
+                           _shift_j(dp, 1, BIG),
+                           _shift_j(dp, 2, BIG),
+                           entry])                              # [4, K, U]
+        toks = jnp.stack([tok,
+                          _shift_j(tok, 1, 0),
+                          _shift_j(tok, 2, 0),
+                          jnp.full((k, u), t, jnp.int32)])
+        sel = jnp.argmin(cands, axis=0)
+        dp = jnp.minimum(jnp.min(cands, axis=0) + c_t, BIG)
+        tok = jnp.take_along_axis(toks, sel[None], axis=0)[0]
+        out = (jnp.take_along_axis(dp, lens_idx, axis=1)[:, 0],
+               jnp.take_along_axis(tok, lens_idx, axis=1)[:, 0])
+        return (dp, tok), out
+
+    init = (jnp.full((k, u), BIG, jnp.float32),
+            jnp.zeros((k, u), jnp.int32))
+    (_, _), (cost_tk, start_tk) = jax.lax.scan(
+        step, init,
+        (c, prev[:t_frames], jnp.arange(t_frames, dtype=jnp.int32)))
+    return cost_tk, start_tk
+
+
+@functools.partial(jax.jit, static_argnames=("max_levels", "squared",
+                                             "precision"))
+def level_build_grammar(q_feats: jax.Array, q_lens: jax.Array,
+                        bank_feats: jax.Array, bank_lens: jax.Array,
+                        start_mask: jax.Array, pair_mask: jax.Array,
+                        max_levels: int = 8,
+                        word_penalty: jax.Array | float = 0.0,
+                        squared: bool = False,
+                        precision=jax.lax.Precision.HIGHEST):
+    """Batched level building under a word-pair grammar.
+
+    Same DP as :func:`level_build` with the inter-level entry
+    constrained by a finite-state syntax (ops/grammar.py, compiled to
+    unit-level masks): ``start_mask [K]`` gates which templates may
+    begin the utterance, ``pair_mask [K, K]`` which template may follow
+    which.  Masks are TRACED arguments — editing the grammar never
+    recompiles.  The `end` mask applies at readout
+    (:func:`backtrack_grammar`), not in the DP.
+
+    Returns ``(costs [B, L, T, K], starts [B, L, T, K])`` — the full
+    per-template planes (see level_pass_grammar for why the K axis
+    can't be reduced).  Memory note: K times the unconstrained planes;
+    at the repo's shapes (K tens-of-templates, T hundreds) this is a
+    few MB per recording — chunk B at the caller for big banks
+    (pipeline.decode_connected already chunks).
+    """
+    word_penalty = jnp.asarray(word_penalty, jnp.float32)
+    lens_idx = (jnp.maximum(bank_lens, 1) - 1)[:, None]         # [K, 1]
+    k = bank_feats.shape[0]
+    # level 0's "pair" mask: the virtual start allows v iff start[v],
+    # whatever the (vacuous) predecessor row is
+    masks = jnp.concatenate(
+        [jnp.broadcast_to(start_mask[None, None, :], (1, k, k)),
+         jnp.broadcast_to(pair_mask[None], (max(max_levels - 1, 0), k, k))])
+
+    def one(q, _qlen):
+        c = local_costs(q, bank_feats, bank_lens, squared, precision)
+        t_frames = c.shape[0]
+
+        def level(prev, mask):
+            cost_tk, start_tk = level_pass_grammar(
+                c, prev, mask, lens_idx, word_penalty)
+            nxt = jnp.concatenate(
+                [jnp.full((1, k), BIG, jnp.float32), cost_tk])
+            return nxt, (cost_tk, start_tk)
+
+        prev0 = jnp.full((t_frames + 1, k), BIG,
+                         jnp.float32).at[0].set(0.0)
+        _, (costs, starts) = jax.lax.scan(level, prev0, masks)
+        return costs, starts
+
+    return jax.vmap(one)(q_feats, q_lens)
+
+
+def backtrack_grammar(costs: np.ndarray, starts: np.ndarray,
+                      pair_mask: np.ndarray, end_mask: np.ndarray,
+                      t_valid: int, max_levels: int | None = None):
+    """Host backtrace for ONE recording under a grammar.
+
+    ``costs/starts`` are the [L, T, K] planes from
+    :func:`level_build_grammar`.  The terminal pick applies ``end_mask``;
+    each step back recomputes the DP's own entry argmin — the chosen
+    predecessor is the ``pair_mask``-allowed template minimising the
+    previous level's cost at the boundary (identical min rule and tie
+    order, lowest index, as the traced entry reduction).  Returns
+    ``(template ids, cost)``; ``([], BIG)`` when the grammar admits no
+    decode of the recording.
+    """
+    t_valid = int(t_valid)
+    if t_valid <= 0:
+        return [], float(BIG)
+    levels = costs.shape[0] if max_levels is None else min(
+        max_levels, costs.shape[0])
+    final = np.where(end_mask[None, :], costs[:levels, t_valid - 1], BIG)
+    l_star, v = np.unravel_index(np.argmin(final), final.shape)
+    best = float(final[l_star, v])
+    if best >= BIG / 2:
+        return [], float(BIG)
+    seq = []
+    t = t_valid - 1
+    v = int(v)
+    for lvl in range(int(l_star), -1, -1):
+        seq.append(v)
+        entered = int(starts[lvl, t, v])
+        if lvl > 0:
+            prev_row = np.where(pair_mask[:, v],
+                                costs[lvl - 1, entered - 1], BIG)
+            v = int(np.argmin(prev_row))
+            t = entered - 1
+        elif entered != 0:   # pragma: no cover - DP invariant
+            raise AssertionError(
+                f"grammar backtrack did not land at frame 0 ({entered})")
+    return seq[::-1], best
+
+
 def backtrack(costs: np.ndarray, words: np.ndarray, starts: np.ndarray,
               t_valid: int, max_levels: int | None = None):
     """Host backtrace for ONE recording -> (template ids, level cost).

@@ -125,6 +125,127 @@ def test_gapless_recording_level_beats_vad_splitter():
                                   method="level")[0] == truth
 
 
+def _random_grammar(k, rng, density=0.7):
+    """Random masks with a guaranteed feasible loop: at least one
+    start word, one end word, and every word keeps one successor."""
+    start = rng.random(k) < density
+    end = rng.random(k) < density
+    pairs = rng.random((k, k)) < density
+    start[int(rng.integers(k))] = True
+    end[int(rng.integers(k))] = True
+    pairs[np.arange(k), rng.integers(0, k, size=k)] = True
+    return start, pairs, end
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("penalty", [0.0, 0.7])
+def test_grammar_golden_matches_brute(seed, penalty):
+    """Grammar-constrained DP == doubly-exponential enumeration."""
+    rng = np.random.default_rng(40 + seed)
+    t, f, k = 7, 2, 3
+    q = rng.standard_normal((t, f)).astype(np.float32)
+    templates, _, _ = _ragged_bank(k, 4, f, rng)
+    start, pairs, end = _random_grammar(k, rng)
+    max_l = 3
+    costs, starts = gl.level_build_grammar_ref(
+        q, templates, start, pairs, max_l, penalty)
+    got_seq, got_cost = lb.backtrack_grammar(costs, starts, pairs, end, t)
+    want_seq, want_cost = gl.brute_connected_grammar(
+        q, templates, start, pairs, end, max_l, penalty)
+    if want_cost >= gl.BIG / 2:
+        assert got_seq == [] and got_cost >= gl.BIG / 2
+    else:
+        assert got_cost == pytest.approx(want_cost, rel=1e-6)
+        assert got_seq == want_seq
+        # the decode respects the grammar it was given
+        assert start[got_seq[0]] and end[got_seq[-1]]
+        assert all(pairs[u, v] for u, v in zip(got_seq, got_seq[1:]))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_grammar_loop_equals_unconstrained(seed):
+    """The all-allowed grammar must reproduce the plain DP exactly."""
+    rng = np.random.default_rng(60 + seed)
+    t, f, k = 9, 2, 3
+    q = rng.standard_normal((t, f)).astype(np.float32)
+    templates, _, _ = _ragged_bank(k, 4, f, rng)
+    ones = np.ones(k, bool)
+    costs_g, starts_g = gl.level_build_grammar_ref(
+        q, templates, ones, np.ones((k, k), bool), 3, 0.4)
+    costs, words, starts = gl.level_build_ref(q, templates, 3, 0.4)
+    # reduced-over-K grammar planes == the unconstrained best-word planes
+    np.testing.assert_allclose(costs_g.min(-1), costs, rtol=1e-6)
+    seq_g, cost_g = lb.backtrack_grammar(costs_g, starts_g,
+                                         np.ones((k, k), bool), ones, t)
+    seq, cost = lb.backtrack(costs, words, starts, t)
+    assert seq_g == seq and cost_g == pytest.approx(cost, rel=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_jax_grammar_matches_golden(seed):
+    rng = np.random.default_rng(80 + seed)
+    t, f, k, u_max, max_l = 11, 3, 4, 6, 4
+    q = rng.standard_normal((2, t, f)).astype(np.float32)
+    templates, padded, lens = _ragged_bank(k, u_max, f, rng)
+    start, pairs, end = _random_grammar(k, rng)
+    costs, starts = lb.level_build_grammar(
+        jnp.asarray(q), jnp.asarray([t, t], jnp.int32),
+        jnp.asarray(padded), jnp.asarray(lens),
+        jnp.asarray(start), jnp.asarray(pairs),
+        max_levels=max_l, word_penalty=0.3)
+    for b in range(2):
+        rc, rs = gl.level_build_grammar_ref(
+            q[b], templates, start, pairs, max_l, 0.3)
+        live = rc < gl.BIG / 2
+        got = np.asarray(costs[b])
+        np.testing.assert_array_equal(got < gl.BIG / 2, live)
+        np.testing.assert_allclose(got[live], rc[live], rtol=2e-4,
+                                   atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(starts[b])[live],
+                                      rs[live])
+        # end-to-end: backtracking the jax planes = backtracking golden's
+        np.testing.assert_array_equal(
+            lb.backtrack_grammar(got, np.asarray(starts[b]), pairs, end, t)[0],
+            lb.backtrack_grammar(rc, rs, pairs, end, t)[0])
+
+
+def test_grammar_forbids_the_unconstrained_winner():
+    """A no-repeat grammar must reroute a decode whose unconstrained
+    optimum is a repetition."""
+    rng = np.random.default_rng(9)
+    w = rng.standard_normal((4, 2)).astype(np.float32)
+    near = (w + 0.01 * rng.standard_normal(w.shape)).astype(np.float32)
+    q = np.concatenate([w, w])              # truth: [0, 0]
+    templates = [w, near]
+    k = 2
+    loop = np.ones((k, k), bool)
+    ones = np.ones(k, bool)
+    costs_u, starts_u = gl.level_build_grammar_ref(
+        q, templates, ones, loop, 3)
+    assert lb.backtrack_grammar(costs_u, starts_u, loop, ones,
+                                len(q))[0] == [0, 0]
+    norep = loop.copy()
+    np.fill_diagonal(norep, False)
+    costs_n, starts_n = gl.level_build_grammar_ref(
+        q, templates, ones, norep, 3)
+    seq_n, _ = lb.backtrack_grammar(costs_n, starts_n, norep, ones, len(q))
+    assert seq_n in ([0, 1], [1, 0])        # rerouted through the twin
+
+
+def test_grammar_infeasible_end_returns_empty():
+    """End mask excludes every reachable terminal -> ([], BIG)."""
+    rng = np.random.default_rng(12)
+    t, f = 6, 2
+    q = rng.standard_normal((t, f)).astype(np.float32)
+    templates = [rng.standard_normal((3, f)).astype(np.float32)]
+    ones = np.ones(1, bool)
+    costs, starts = gl.level_build_grammar_ref(
+        q, templates, ones, np.ones((1, 1), bool), 2)
+    seq, cost = lb.backtrack_grammar(costs, starts, np.ones((1, 1), bool),
+                                     np.zeros(1, bool), t)
+    assert seq == [] and cost >= gl.BIG / 2
+
+
 def test_word_penalty_prefers_fewer_words():
     """Two identical adjacent words: with a huge per-word penalty a
     single long template (the two concatenated) must win over two
