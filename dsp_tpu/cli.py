@@ -230,9 +230,16 @@ def cmd_recognize(args):
         seqs = rec.classify_connected(
             sigs, max_segments=args.max_segments,
             method=getattr(args, "connected_method", "vad"),
-            word_penalty=getattr(args, "word_penalty", 0.0))
+            word_penalty=getattr(args, "word_penalty", 0.0),
+            grammar=getattr(args, "grammar", None))
         for path, seq in zip(args.wavs, seqs):
             print(f"{path}\t{' '.join(seq)}")
+        return
+    if getattr(args, "nbest", 0) > 1:
+        hyps = rec.classify_nbest(sigs, n=args.nbest)
+        for path, hy in zip(args.wavs, hyps):
+            cells = " ".join(f"{lab}:{d:.3f}:{w:.3f}" for lab, d, w in hy)
+            print(f"{path}\t{cells}")
         return
     labels = rec.classify_batch(sigs)
     for path, lab in zip(args.wavs, labels):
@@ -332,10 +339,16 @@ def cmd_evaluate_connected(args):
         raise SystemExit("--connected-method level supports --bank (level "
                          "building) and --hmm (connected Viterbi); the VQ "
                          "family has no frame-synchronous joint decoder")
+    grammar = getattr(args, "grammar", None)
+    if grammar and method == "vad":
+        raise SystemExit("--grammar requires --connected-method level "
+                         "(the splitter has no joint sequence to "
+                         "constrain)")
     if method != "vad":
         got = rec.classify_connected(
             sigs, max_segments=args.max_segments, method=method,
-            word_penalty=getattr(args, "word_penalty", 0.0))
+            word_penalty=getattr(args, "word_penalty", 0.0),
+            grammar=grammar)
     else:
         got = rec.classify_connected(sigs, max_segments=args.max_segments)
     n_words = sum(len(t) for t in truths)
@@ -361,9 +374,12 @@ def cmd_serve(args):
     stays resident (persistent compile cache + device bank), so after
     the first request every call costs only the warm classify dispatch.
     Prefix a line with ``connected `` to decode a multi-word recording
-    via the segment splitter, or with ``level `` to decode it with the
-    level-building DP (gapless speech — ops/level_building.py).  EOF
-    ends the loop.
+    via the segment splitter, with ``level `` to decode it with the
+    level-building DP (gapless speech — ops/level_building.py;
+    ``--grammar`` constrains these), or with ``nbest `` to get the top
+    ``--nbest`` isolated-word hypotheses as label:distance:weight
+    triplets (rejection thresholds ride the weight).  EOF ends the
+    loop.
     """
     import sys
     import time as _time
@@ -374,6 +390,13 @@ def cmd_serve(args):
     cfg = _pipeline_cfg(args)
     rec = KnnDtwRecognizer.load(args.bank, cfg)
     _apply_matcher_flags(rec, args)
+    grammar = getattr(args, "grammar", None)
+    if grammar:
+        # validate once at startup (fail fast, not on the first
+        # `level ` request); applies to level-mode lines only
+        from dsp_tpu.ops.grammar import Grammar
+        g = Grammar.load(grammar, rec.labels)
+        log.info("serve: %s", g.describe())
     print("ready", flush=True)
     for line in sys.stdin:
         line = line.strip()
@@ -381,17 +404,23 @@ def cmd_serve(args):
             continue
         mode = "single"
         path = line
-        for prefix, m in (("connected ", "vad"), ("level ", "level")):
+        for prefix, m in (("connected ", "vad"), ("level ", "level"),
+                          ("nbest ", "nbest")):
             if line.startswith(prefix):
                 mode, path = m, line[len(prefix):]
                 break
         t0 = _time.perf_counter()
         try:
             x = read_wav(path, cfg.frontend.sample_rate)[1]
-            if mode != "single":
+            if mode == "nbest":
+                label = " ".join(
+                    f"{lab}:{d:.3f}:{w:.3f}" for lab, d, w in
+                    rec.classify_nbest([x], n=args.nbest)[0])
+            elif mode != "single":
                 label = " ".join(rec.classify_connected(
                     [x], max_segments=args.max_segments, method=mode
-                    if mode == "level" else "vad")[0])
+                    if mode == "level" else "vad",
+                    grammar=grammar if mode == "level" else None)[0])
             else:
                 label = rec.recognize(x)
             ms = (_time.perf_counter() - t0) * 1e3
@@ -715,6 +744,11 @@ def _add_connected_method(p):
                         "— handles GAPLESS/coarticulated speech (template "
                         "level building for --bank, connected Viterbi "
                         "for --hmm)")
+    p.add_argument("--grammar", metavar="JSON",
+                   help="finite-state word-grammar spec file constraining "
+                        "the connected decode (method 'level' only): "
+                        "allowed start/end words and word pairs — "
+                        "ops/grammar.py docstring for the format")
     p.add_argument("--word-penalty", type=float, default=0.0,
                    help="level-building per-word cost bias (0 = pure "
                         "distance; raise to discourage over-segmentation)")
@@ -767,6 +801,10 @@ def main(argv=None):
                         "labels per file)")
     p.add_argument("--max-segments", type=int, default=8,
                    help="segment capacity per recording (--connected)")
+    p.add_argument("--nbest", type=int, default=1, metavar="N",
+                   help="> 1: print the top-N hypotheses per file as "
+                        "label:distance:weight triplets (weight = "
+                        "relative confidence, pipeline.nbest_from_scores)")
     _add_connected_method(p)
     p.add_argument("wavs", nargs="+")
     _add_common(p)
@@ -801,6 +839,11 @@ def main(argv=None):
     p.add_argument("--bank", required=True)
     p.add_argument("--max-segments", type=int, default=8,
                    help="segment capacity for 'connected <path>' lines")
+    p.add_argument("--grammar", metavar="JSON",
+                   help="word-grammar spec applied to 'level <path>' "
+                        "requests (ops/grammar.py docstring format)")
+    p.add_argument("--nbest", type=int, default=3,
+                   help="hypothesis count for 'nbest <path>' lines")
     _add_common(p)
     p.set_defaults(fn=cmd_serve)
 

@@ -587,9 +587,42 @@ class GmmHmmRecognizer:
             return labels, scores
         return labels
 
+    def classify_nbest(self, signals, n: int = 3):
+        """Top-n label hypotheses per utterance: ``[[(label, log_lik,
+        weight)]]`` sorted best-first (pipeline.nbest_from_scores over
+        the per-word Viterbi log-liks; composes with ``noise_adapt``
+        and the mesh like ``classify_batch``)."""
+        if not len(signals):
+            return []
+        _, scores = self.classify_batch(signals, return_scores=True)
+        return pl.nbest_from_scores(scores, self.labels, n,
+                                    higher_better=True)
+
+    def resolve_grammar(self, grammar):
+        """Normalise a grammar argument -> word-level masks.
+
+        Same contract as KnnDtwRecognizer.resolve_grammar, but the HMM
+        family has exactly one model per label, so unit = word and the
+        label-level masks apply directly (reordered to ``self.labels``).
+        """
+        from dsp_tpu.ops.grammar import Grammar
+
+        if isinstance(grammar, str):
+            grammar = Grammar.load(grammar, self.labels)
+        elif isinstance(grammar, dict):
+            grammar = Grammar.from_spec(grammar, self.labels)
+        gidx = {w: i for i, w in enumerate(grammar.labels)}
+        missing = [w for w in self.labels if w not in gidx]
+        if missing:
+            raise ValueError("grammar does not cover trained labels: "
+                             + ", ".join(missing))
+        ids = np.asarray([gidx[w] for w in self.labels])
+        return grammar.unit_masks(ids)
+
     def classify_connected(self, signals, max_segments: int = 8,
                            method: str = "vad",
-                           word_penalty: float = 0.0):
+                           word_penalty: float = 0.0,
+                           grammar=None):
         """Recordings of SEVERAL words -> one label list per recording.
 
         ``method="vad"`` (default): the shared multi-segment VAD split
@@ -603,26 +636,56 @@ class GmmHmmRecognizer:
         decode correctly; ``max_segments`` caps the word count and
         ``word_penalty`` (>= 0, subtracted per word) biases it.
 
-        Both compose with ``noise_adapt`` (PMC-adapted params estimated
+        ``grammar`` (method="level" only): a finite-state word syntax
+        (ops/grammar.py: Grammar | spec dict | JSON path) constraining
+        start/adjacent/end words inside the joint DP
+        (connected_viterbi_grammar); returns ``[]`` for a recording the
+        grammar cannot explain.
+
+        All compose with ``noise_adapt`` (PMC-adapted params estimated
         from the recordings themselves).
         """
         if self.params is None:
             raise ValueError("model not fitted")
+        if grammar is not None and method != "level":
+            raise ValueError(
+                "grammar constraints require method='level' (the VAD "
+                "splitter classifies segments independently — there is "
+                "no joint sequence to constrain)")
         params = self._params_for(signals) if len(signals) else self.params
         if method == "level":
-            from dsp_tpu.ops.connected_viterbi import connected_viterbi
+            from dsp_tpu.ops.connected_viterbi import (
+                connected_viterbi, connected_viterbi_grammar)
+            from dsp_tpu.ops.level_building import backtrack_grammar
 
-            def dp_fn(feats):
-                scores, words, starts = connected_viterbi(
-                    feats.feats, feats.length, params,
-                    max_levels=max_segments, word_penalty=word_penalty)
-                # MIN-convention bridge: NEG_INF -> BIG for the shared
-                # backtrace (module docstring)
-                return -scores, words, starts
+            if grammar is not None:
+                start_m, pair_m, end_m = self.resolve_grammar(grammar)
+
+                def dp_fn(feats):
+                    scores, starts = connected_viterbi_grammar(
+                        feats.feats, feats.length, params,
+                        jnp.asarray(start_m), jnp.asarray(pair_m),
+                        max_levels=max_segments,
+                        word_penalty=word_penalty)
+                    # MIN-convention bridge: NEG_INF -> BIG (docstring)
+                    return -scores, starts
+
+                def backtrack_fn(costs, starts, t_valid):
+                    return backtrack_grammar(costs, starts, pair_m,
+                                             end_m, t_valid)
+            else:
+                backtrack_fn = None
+
+                def dp_fn(feats):
+                    scores, words, starts = connected_viterbi(
+                        feats.feats, feats.length, params,
+                        max_levels=max_segments, word_penalty=word_penalty)
+                    return -scores, words, starts
 
             id_lists, _ = pl.decode_level_generic(
                 signals, self.mats, self.cfg, dp_fn,
-                np.arange(len(self.labels), dtype=np.int32))
+                np.arange(len(self.labels), dtype=np.int32),
+                backtrack_fn=backtrack_fn)
             return [[self.labels[int(i)] for i in ids] for ids in id_lists]
         if method != "vad":
             raise ValueError(f"unknown connected method {method!r} "

@@ -182,6 +182,27 @@ class KnnDtwRecognizer:
             return labels, np.asarray(dists)
         return labels
 
+    def classify_nbest(self, signals, n: int = 3):
+        """Top-n label hypotheses per utterance: ``[[(label, distance,
+        weight)]]`` sorted best-first.
+
+        Per-label score = the min DTW distance over that label's
+        templates (the 1-NN rule applied per label); ``weight`` is
+        pipeline.nbest_from_scores's relative confidence.  Rides
+        ``classify_batch(return_distances=True)``, so it works under
+        every matcher and bank-sharded over a mesh; labels whose every
+        template is dead (e.g. unreachable under slope='itakura') are
+        dropped — an utterance no template can reach returns [].
+        """
+        if not len(signals):
+            return []
+        _, dists = self.classify_batch(signals, return_distances=True)
+        ids = np.asarray(self._bank_label_ids)
+        label_d = np.full((dists.shape[0], len(self.labels)), 1e30)
+        np.minimum.at(label_d, (np.arange(dists.shape[0])[:, None],
+                                np.broadcast_to(ids, dists.shape)), dists)
+        return pl.nbest_from_scores(label_d, self.labels, n)
+
     def _ids_to_labels(self, label_ids) -> list:
         """Map vote ids to strings; the vote's -1 all-candidates-dead
         sentinel (pipeline.vote_topk) becomes NO_MATCH instead of
@@ -218,10 +239,38 @@ class KnnDtwRecognizer:
         """Single utterance -> label (the reference's main entry point)."""
         return self.classify_batch([signal])[0]
 
+    def resolve_grammar(self, grammar):
+        """Normalise a grammar argument -> UNIT-level masks for the bank.
+
+        ``grammar`` may be an ops/grammar.py:Grammar, a spec dict, or a
+        path to a JSON spec file (dict/path are compiled over THIS
+        recognizer's vocabulary).  A ready-made Grammar is matched to
+        the bank BY LABEL STRING (its word order need not match
+        enrollment order); every enrolled label must appear in it.
+        Returns ``(start [K], pairs [K, K], end [K])`` numpy bools over
+        bank template rows.
+        """
+        from dsp_tpu.ops.grammar import Grammar
+
+        if isinstance(grammar, str):
+            grammar = Grammar.load(grammar, self.labels)
+        elif isinstance(grammar, dict):
+            grammar = Grammar.from_spec(grammar, self.labels)
+        gidx = {w: i for i, w in enumerate(grammar.labels)}
+        missing = [w for w in self.labels if w not in gidx]
+        if missing:
+            raise ValueError(
+                "grammar does not cover enrolled labels: "
+                + ", ".join(missing))
+        unit_gids = np.asarray([gidx[self.labels[i]]
+                                for i in self._bank_label_ids])
+        return grammar.unit_masks(unit_gids)
+
     def classify_connected(self, signals, max_segments: int = 8,
                            return_segments: bool = False,
                            method: str = "vad",
-                           word_penalty: float = 0.0):
+                           word_penalty: float = 0.0,
+                           grammar=None):
         """Recordings with SEVERAL words each -> one label list per recording.
 
         Two decoders:
@@ -244,6 +293,15 @@ class KnnDtwRecognizer:
         ltw/cascade matchers do not apply (the DP aligns raw frames
         against the full bank).
 
+        ``grammar`` (method="level" only) — a finite-state word syntax
+        (ops/grammar.py: Grammar | spec dict | JSON path, see
+        :meth:`resolve_grammar`) constraining which words may start/end
+        the utterance and which pairs may be adjacent; the constraint
+        enters the joint DP itself (level_build_grammar), not a
+        post-filter, so the decoder returns the best GRAMMATICAL
+        sequence.  Returns ``[]`` for a recording the grammar cannot
+        explain.
+
         Recordings may be longer than ``cfg.max_samples`` — they are
         padded to a whole multiple of it so compile shapes stay
         quantised.  With ``return_segments`` also returns segment
@@ -254,8 +312,27 @@ class KnnDtwRecognizer:
         set the per-segment classify runs bank-sharded over the mesh,
         exactly like ``classify_batch`` (method="vad" only).
         """
+        if grammar is not None and method != "level":
+            raise ValueError(
+                "grammar constraints require method='level' (the VAD "
+                "splitter classifies segments independently — there is "
+                "no joint sequence to constrain)")
         if method == "level":
-            if self.mesh is not None:
+            if grammar is not None:
+                # grammar DP is single-device for now (per-template
+                # planes; see pipeline.decode_connected_level docstring)
+                if self.mesh is not None:
+                    from dsp_tpu.utils.logging import warn_once
+                    warn_once("grammar-connected-mesh",
+                              "grammar-constrained decode runs on one "
+                              "device (bank replicated); the mesh is "
+                              "ignored for this call")
+                bank, ids = self.device_bank()
+                id_lists, costs = pl.decode_connected_level(
+                    signals, self.mats, self.cfg, bank, ids,
+                    max_levels=max_segments, word_penalty=word_penalty,
+                    grammar_masks=self.resolve_grammar(grammar))
+            elif self.mesh is not None:
                 # bank-sharded DP over the mesh (parallel/sharding.py:
                 # level_build_sharded) — same results as single-device
                 bf, bl, ids_r, valid = self.sharded_bank()

@@ -186,6 +186,16 @@ class VqRecognizer:
         got = [self.labels[int(i)] for i in d.argmin(axis=1)]
         return (got, d) if return_distances else got
 
+    def classify_nbest(self, signals, n: int = 3):
+        """Top-n label hypotheses per utterance: ``[[(label, distortion,
+        weight)]]`` best-first (pipeline.nbest_from_scores over the
+        per-codebook mean distortions; mesh-aware via classify_batch)."""
+        if not len(signals):
+            return []
+        _, d = self.classify_batch(signals, return_distances=True)
+        from dsp_tpu import pipeline as pl
+        return pl.nbest_from_scores(d, self.labels, n)
+
     def _distortion_sharded(self, signals) -> np.ndarray:
         """Data-parallel scoring: utterances shard over all mesh devices,
         codebooks replicate (embarrassingly parallel, zero collectives)."""

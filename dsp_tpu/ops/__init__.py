@@ -34,3 +34,7 @@ from dsp_tpu.ops.lpc import lpcc  # noqa: E402
 
 __all__ += ["dtw_batch_bidi", "dtw_distance_bidi", "dtw_batch_windowed",
             "window_for_band", "time_normalize", "lpcc"]
+
+from dsp_tpu.ops.grammar import Grammar  # noqa: E402
+
+__all__ += ["Grammar"]

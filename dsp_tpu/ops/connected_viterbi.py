@@ -111,3 +111,72 @@ def connected_viterbi(q_feats: jax.Array, q_lens: jax.Array,
         return scores, words, starts
 
     return jax.vmap(one)(q_feats, q_lens)
+
+
+@functools.partial(jax.jit, static_argnames=("max_levels",))
+def connected_viterbi_grammar(q_feats: jax.Array, q_lens: jax.Array,
+                              params, start_mask: jax.Array,
+                              pair_mask: jax.Array, max_levels: int = 8,
+                              word_penalty: jax.Array | float = 0.0):
+    """Connected Viterbi under a finite-state word grammar.
+
+    The HMM twin of ops/level_building.level_build_grammar: entry into
+    word ``w`` is gated by which word ENDED the previous level
+    (``pair_mask [W, W]``, ``start_mask [W]`` for level 0 — unit = word
+    here, so the label-level grammar masks apply directly, no template
+    expansion).  The per-frame front keeps the word axis — the best
+    last word depends on its successor — so the returned planes are
+    ``(scores [B, L, T, W], starts [B, L, T, W])``; callers negate the
+    scores and read them back with level_building.backtrack_grammar
+    (the usual NEG_INF -> BIG bridge; the ``end`` mask applies there).
+    Masks are traced — editing the grammar never recompiles.
+    """
+    from dsp_tpu.models.gmm_hmm import emission_logb
+
+    word_penalty = jnp.asarray(word_penalty, jnp.float32)
+    log_pi, log_a = params.log_pi, params.log_a           # [W,S], [W,S,S]
+    w, s = log_pi.shape
+    masks = jnp.concatenate(
+        [jnp.broadcast_to(start_mask[None, None, :], (1, w, w)),
+         jnp.broadcast_to(pair_mask[None], (max(max_levels - 1, 0), w, w))])
+
+    def one(q, _qlen):
+        logb = emission_logb(q, params)                   # [T, W, S]
+        t_frames = logb.shape[0]
+
+        def level(prev, mask):
+            # prev: [T+1, W]; entry for word v at frame t = the best
+            # ALLOWED predecessor's score (max-plus masked reduction)
+            def step(carry, inp):
+                delta, tok = carry                        # [W,S] f32/i32
+                b_t, p_t, t = inp
+                e_t = jnp.max(jnp.where(mask, p_t[:, None], NEG_INF),
+                              axis=0)
+                e_t = jnp.maximum(e_t - word_penalty, NEG_INF)  # [W]
+                trans = delta[:, :, None] + log_a         # [W, S', S]
+                s_prev = jnp.argmax(trans, axis=1)        # [W, S]
+                within = jnp.max(trans, axis=1)
+                tok_within = jnp.take_along_axis(tok, s_prev, axis=1)
+                enter = e_t[:, None] + log_pi             # [W, S]
+                take_enter = enter > within
+                delta = jnp.maximum(
+                    jnp.where(take_enter, enter, within) + b_t, NEG_INF)
+                tok = jnp.where(take_enter, t, tok_within)
+                return (delta, tok), (delta[:, s - 1], tok[:, s - 1])
+
+            init = (jnp.full((w, s), NEG_INF, jnp.float32),
+                    jnp.zeros((w, s), jnp.int32))
+            (_, _), (score_tw, start_tw) = jax.lax.scan(
+                step, init,
+                (logb, prev[:t_frames],
+                 jnp.arange(t_frames, dtype=jnp.int32)))
+            nxt = jnp.concatenate(
+                [jnp.full((1, w), NEG_INF, jnp.float32), score_tw])
+            return nxt, (score_tw, start_tw)
+
+        prev0 = jnp.full((t_frames + 1, w), NEG_INF,
+                         jnp.float32).at[0].set(0.0)
+        _, (scores, starts) = jax.lax.scan(level, prev0, masks)
+        return scores, starts
+
+    return jax.vmap(one)(q_feats, q_lens)

@@ -479,7 +479,8 @@ def decode_connected_level(signals, mats: fe.FrontendMatrices,
                            max_levels: int = 8,
                            word_penalty: float = 0.0,
                            precision=jax.lax.Precision.HIGHEST,
-                           mesh=None, bank_valid=None):
+                           mesh=None, bank_valid=None,
+                           grammar_masks=None):
     """Level-building connected decode over host recordings (GAPLESS ok).
 
     The algorithmic alternative to :func:`decode_connected`'s VAD
@@ -494,11 +495,50 @@ def decode_connected_level(signals, mats: fe.FrontendMatrices,
     bank-axis multiple with ``bank_valid`` marking real rows, and the
     recording batch is padded to the data-axis multiple with repeats.
 
+    ``grammar_masks`` — UNIT-level ``(start [K], pairs [K, K], end [K])``
+    boolean arrays (ops/grammar.py:Grammar.unit_masks) switch the DP to
+    the syntax-constrained variant (level_build_grammar): which
+    templates may begin/end the utterance and which may follow which.
+    Grammar decoding runs single-device on the full bank even when the
+    caller holds a mesh (the model layer warns once): the grammar DP
+    carries per-template planes, so bank sharding would turn the
+    per-level [T]-vector reduction into a [T, K] all_gather — wire it
+    when a bank outgrows one chip (ROADMAP).  Mesh callers still pass
+    their padded bank; ``bank_valid`` keeps dead rows unenterable.
+
     Returns ``(label_id_lists, costs)``: per recording the decoded
     template LABEL ids (empty when nothing is reachable) and the raw DP
     cost.  The local cost follows ``cfg.dtw.squared``; ``word_penalty``
     biases the word-count choice (0 = pure distance).
     """
+    if grammar_masks is not None:
+        from dsp_tpu.ops.level_building import (backtrack_grammar,
+                                                level_build_grammar)
+
+        start_m, pair_m, end_m = (np.asarray(m, bool)
+                                  for m in grammar_masks)
+        if mesh is not None and bank_valid is not None:
+            # mesh callers pass the padded bank; dead rows must stay
+            # unenterable under the grammar too
+            pad = np.asarray(bank_valid, bool)
+            start_m = start_m & pad
+            end_m = end_m & pad
+            pair_m = pair_m & np.outer(pad, pad)
+
+        def dp_fn(feats):
+            return level_build_grammar(
+                feats.feats, feats.length, bank.feats, bank.length,
+                jnp.asarray(start_m), jnp.asarray(pair_m),
+                max_levels=max_levels, word_penalty=word_penalty,
+                squared=cfg.dtw.squared, precision=precision)
+
+        def backtrack_fn(costs, starts, t_valid):
+            return backtrack_grammar(costs, starts, pair_m, end_m, t_valid)
+
+        return decode_level_generic(signals, mats, cfg, dp_fn,
+                                    bank_label_ids, precision,
+                                    backtrack_fn=backtrack_fn)
+
     def dp_fn(feats):
         if mesh is not None:
             from dsp_tpu.parallel.sharding import level_build_sharded
@@ -521,19 +561,26 @@ def decode_connected_level(signals, mats: fe.FrontendMatrices,
 
 def decode_level_generic(signals, mats: fe.FrontendMatrices,
                          cfg: PipelineConfig, dp_fn, word_ids,
-                         precision=jax.lax.Precision.HIGHEST, mesh=None):
+                         precision=jax.lax.Precision.HIGHEST, mesh=None,
+                         backtrack_fn=None):
     """Shared driver for LEVEL-style connected decoders.
 
     Handles length grouping (compile shapes stay quantised multiples of
     ``cfg.max_samples``), whole-recording extraction, optional mesh
-    data-axis padding, and the host backtrace.  ``dp_fn(Features) ->
-    (costs, words, starts) [B, L, T]`` is the family's joint DP in the
-    MIN convention of ops/level_building.py (HMM callers negate their
-    log-liks — NEG_INF maps onto BIG exactly); ``word_ids`` maps DP word
-    indices to label ids.
+    data-axis padding, and the host backtrace.  ``dp_fn(Features)`` is
+    the family's joint DP in the MIN convention of
+    ops/level_building.py (HMM callers negate their log-liks — NEG_INF
+    maps onto BIG exactly), returning a tuple of per-recording planes;
+    ``backtrack_fn(*planes_row, t_valid) -> (unit ids, cost)`` reads
+    one recording's planes back out (default:
+    ops/level_building.backtrack on (costs, words, starts) [L, T];
+    grammar callers pass backtrack_grammar over [L, T, K] planes).
+    ``word_ids`` maps DP word indices to label ids.
     """
     from dsp_tpu.ops.level_building import backtrack
 
+    if backtrack_fn is None:
+        backtrack_fn = backtrack
     if not len(signals):
         return [], np.zeros((0,), np.float32)
     quantum = cfg.max_samples
@@ -562,14 +609,11 @@ def decode_level_generic(signals, mats: fe.FrontendMatrices,
             x = jnp.asarray(x)
             n = jnp.asarray(np.maximum(n, 1))
         feats = extract_recording_features(x, n, mats, cfg, t_max, precision)
-        costs, words, starts = dp_fn(feats)
-        costs = np.asarray(costs)[:b_orig]
-        words = np.asarray(words)[:b_orig]
-        starts = np.asarray(starts)[:b_orig]
+        planes = [np.asarray(p)[:b_orig] for p in dp_fn(feats)]
         lens = np.asarray(feats.length)[:b_orig]
         for row, i in enumerate(idxs):
-            seq, cost = backtrack(costs[row], words[row], starts[row],
-                                  int(lens[row]))
+            seq, cost = backtrack_fn(*(p[row] for p in planes),
+                                     int(lens[row]))
             results[i] = ([int(ids_np[v]) for v in seq], cost)
     for i in range(len(signals)):
         ids, cost = results[i]
@@ -586,6 +630,43 @@ def extract_signals(signals, mats: fe.FrontendMatrices,
     The shared `extract` of every recognizer family."""
     x, n = pad_signals(signals, cfg.max_samples)
     return extract_features(x, n, mats, cfg, precision)
+
+
+def nbest_from_scores(scores, labels, n: int = 3,
+                      higher_better: bool = False):
+    """Per-row top-n hypotheses: ``[B, n_labels] -> [[(label, score,
+    weight)]]`` sorted best-first.
+
+    The shared readout behind every family's ``classify_nbest``.
+    ``scores`` stay in the family's NATIVE orientation (DTW distance /
+    VQ distortion: lower better; HMM log-lik: higher better — set
+    ``higher_better``); ``weight`` is a softmax over the row's z-scored
+    scores (oriented higher=better): a scale-free RELATIVE confidence
+    usable for rejection thresholds and hypothesis ranking — NOT a
+    calibrated posterior (synthetic-corpus calibration would not
+    transfer anyway).  Dead entries (|score| >= 1e20: the vote/mesh
+    BIG sentinel, e.g. a label unreachable under slope='itakura') are
+    dropped, so rows may carry fewer than ``n`` hypotheses — an
+    all-dead row returns [].
+    """
+    scores = np.asarray(scores, np.float64)
+    out = []
+    for row in scores:
+        live = np.abs(row) < 1e20
+        k = int(live.sum())
+        if k == 0:
+            out.append([])
+            continue
+        s = row[live] if higher_better else -row[live]
+        std = s.std()
+        z = (s - s.mean()) / (std if std > 0 else 1.0)
+        w = np.exp(z - z.max())
+        w /= w.sum()
+        idx_live = np.flatnonzero(live)
+        order = np.argsort(-s, kind="stable")[: min(n, k)]
+        out.append([(labels[int(idx_live[j])], float(row[idx_live[j]]),
+                     float(w[j])) for j in order])
+    return out
 
 
 def edit_distance(a, b) -> int:

@@ -131,6 +131,44 @@ def test_make_corpus_gapless_and_evaluate_level(tmp_path, capsys):
     assert wer <= 0.25
 
 
+def test_grammar_flag_constrains_level_decode(tmp_path, capsys):
+    """--grammar on recognize/evaluate-connected: a spec matching the
+    truth is a no-op; a vad-method combination is rejected."""
+    d = str(tmp_path / "corpus")
+    cli.main(["make-corpus", "--out", d, "--n", "2", "--words", "3",
+              "--connected", "3", "--gapless"])
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(d, "train"),
+              "--bank", bank])
+    spec = str(tmp_path / "grammar.json")
+    with open(spec, "w") as f:
+        # all-allowed spec: plumbing must be a no-op vs no grammar
+        # (the corpus writer samples labels WITH repetition, so e.g.
+        # no_repeat would genuinely conflict with some truths)
+        json.dump({"start": "*", "end": "*"}, f)
+    conn = os.path.join(d, "connected")
+    cli.main(["evaluate-connected", "--corpus", conn, "--bank", bank,
+              "--connected-method", "level"])
+    wer_plain = float(
+        capsys.readouterr().out.rsplit("wer:", 1)[1].split("(")[0])
+    cli.main(["evaluate-connected", "--corpus", conn, "--bank", bank,
+              "--connected-method", "level", "--grammar", spec])
+    out = capsys.readouterr().out
+    assert float(out.rsplit("wer:", 1)[1].split("(")[0]) == wer_plain
+    with pytest.raises(SystemExit, match="grammar requires"):
+        cli.main(["evaluate-connected", "--corpus", conn, "--bank", bank,
+                  "--grammar", spec])
+    # recognize surface: grammar rides the same level path
+    wav = [f for f in sorted(os.listdir(conn)) if f.endswith(".wav")][0]
+    with open(os.path.join(conn, "labels.tsv")) as f:
+        truth = f.readline().rstrip("\n").split("\t")[1]
+    cli.main(["recognize", "--bank", bank, "--connected",
+              "--connected-method", "level", "--grammar", spec,
+              os.path.join(conn, wav)])
+    out = capsys.readouterr().out
+    assert out.strip().split("\t")[1] == truth
+
+
 def test_flag_sentinels_preserve_enrolled_config(corpus_dir, tmp_path,
                                                  capsys):
     """Regression: argparse defaults used to clobber a checkpoint's
@@ -188,6 +226,32 @@ def test_serve_loop(corpus_dir, tmp_path, capsys, monkeypatch):
     assert lines[2].split("\t")[1] == " ".join(labels[:2])
     assert lines[3].split("\t")[1] == " ".join(labels[:2])   # gapless
     assert "ERROR" in lines[4]
+
+
+def test_serve_grammar_applies_to_level_lines(corpus_dir, tmp_path,
+                                              capsys, monkeypatch):
+    """serve --grammar gates 'level ' requests: forbidding the true
+    first word as a start reroutes the decode."""
+    import io
+
+    from dsp_tpu.io.dataset import synth_connected
+    from dsp_tpu.io.wav import write_wav
+
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    labels = sorted(os.listdir(os.path.join(corpus_dir, "train")))
+    gapless_wav = str(tmp_path / "serve_gapless.wav")
+    write_wav(gapless_wav, 16000,
+              synth_connected(labels[:2], 4, gap_ms=(0.0, 1.0)))
+    spec = str(tmp_path / "grammar.json")
+    with open(spec, "w") as f:
+        json.dump({"start": [labels[1]]}, f)   # truth starts labels[0]
+    monkeypatch.setattr("sys.stdin", io.StringIO(f"level {gapless_wav}\n"))
+    cli.main(["serve", "--bank", bank, "--grammar", spec])
+    lines = capsys.readouterr().out.strip().splitlines()
+    got = lines[1].split("\t")[1].split(" ")
+    assert got != labels[:2] and got[0] == labels[1]
 
 
 def test_demo_synthetic_stream(corpus_dir, tmp_path, capsys):

@@ -246,6 +246,74 @@ def test_grammar_infeasible_end_returns_empty():
     assert seq == [] and cost >= gl.BIG / 2
 
 
+@pytest.fixture(scope="module")
+def grammar_rec():
+    from dsp_tpu.config import PipelineConfig
+    from dsp_tpu.io.dataset import synth_word
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    rec = KnnDtwRecognizer(PipelineConfig())
+    for lab in ["zero", "one", "two"]:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(2)])
+    return rec
+
+
+def test_model_grammar_loop_matches_unconstrained(grammar_rec):
+    """An all-allowed grammar must not change the gapless decode."""
+    from dsp_tpu.io.dataset import synth_connected
+    from dsp_tpu.ops.grammar import Grammar
+
+    truth = ["two", "zero", "one"]
+    sig = synth_connected(truth, seed=5, gap_ms=(0.0, 1.0),
+                          lead_ms=(50.0, 60.0))
+    plain = grammar_rec.classify_connected([sig], max_segments=4,
+                                           method="level")[0]
+    loop = grammar_rec.classify_connected(
+        [sig], max_segments=4, method="level",
+        grammar=Grammar.loop(grammar_rec.labels))[0]
+    assert plain == loop == truth
+
+
+def test_model_grammar_reroutes_forbidden_decode(grammar_rec):
+    """Forbid the true first word from starting: the decoder must pick
+    the best GRAMMATICAL sequence instead (and flag nothing for the
+    grammar that matches the truth)."""
+    from dsp_tpu.io.dataset import synth_connected
+
+    truth = ["two", "zero", "one"]
+    sig = synth_connected(truth, seed=5, gap_ms=(0.0, 1.0),
+                          lead_ms=(50.0, 60.0))
+    ok = {"start": ["two"], "pairs": [["two", "zero"], ["zero", "one"]],
+          "end": ["one"]}
+    assert grammar_rec.classify_connected(
+        [sig], max_segments=4, method="level", grammar=ok)[0] == truth
+    # starting with "two" forbidden -> truth is ungrammatical
+    bad = {"start": ["zero", "one"]}
+    got = grammar_rec.classify_connected(
+        [sig], max_segments=4, method="level", grammar=bad)[0]
+    assert got and got[0] != "two"
+
+
+def test_model_grammar_spec_path_and_validation(grammar_rec, tmp_path):
+    import json
+
+    from dsp_tpu.io.dataset import synth_connected
+
+    truth = ["one", "two"]
+    sig = synth_connected(truth, seed=8, gap_ms=(0.0, 1.0),
+                          lead_ms=(50.0, 60.0))
+    p = tmp_path / "grammar.json"
+    p.write_text(json.dumps({"no_repeat": True}))
+    assert grammar_rec.classify_connected(
+        [sig], max_segments=3, method="level", grammar=str(p))[0] == truth
+    with pytest.raises(ValueError, match="require method='level'"):
+        grammar_rec.classify_connected([sig], grammar={"no_repeat": True})
+    from dsp_tpu.ops.grammar import Grammar
+    with pytest.raises(ValueError, match="does not cover"):
+        grammar_rec.classify_connected(
+            [sig], method="level", grammar=Grammar.loop(("zero", "one")))
+
+
 def test_word_penalty_prefers_fewer_words():
     """Two identical adjacent words: with a huge per-word penalty a
     single long template (the two concatenated) must win over two
