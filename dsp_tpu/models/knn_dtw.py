@@ -318,15 +318,18 @@ class KnnDtwRecognizer:
                 "splitter classifies segments independently — there is "
                 "no joint sequence to constrain)")
         if method == "level":
-            if grammar is not None:
-                # grammar DP is single-device for now (per-template
-                # planes; see pipeline.decode_connected_level docstring)
-                if self.mesh is not None:
-                    from dsp_tpu.utils.logging import warn_once
-                    warn_once("grammar-connected-mesh",
-                              "grammar-constrained decode runs on one "
-                              "device (bank replicated); the mesh is "
-                              "ignored for this call")
+            if grammar is not None and self.mesh is not None:
+                # bank-sharded grammar DP (parallel/sharding.py:
+                # level_build_grammar_sharded); the pipeline pads the
+                # real-bank masks to the mesh's padded bank
+                bf, bl, ids_r, valid = self.sharded_bank()
+                id_lists, costs = pl.decode_connected_level(
+                    signals, self.mats, self.cfg, pl.Features(bf, bl),
+                    np.asarray(ids_r), max_levels=max_segments,
+                    word_penalty=word_penalty, mesh=self.mesh,
+                    bank_valid=valid,
+                    grammar_masks=self.resolve_grammar(grammar))
+            elif grammar is not None:
                 bank, ids = self.device_bank()
                 id_lists, costs = pl.decode_connected_level(
                     signals, self.mats, self.cfg, bank, ids,

@@ -199,6 +199,93 @@ def level_build_sharded(
     return mapped(q_feats, q_lens, bank, bank_lens, bank_valid)
 
 
+def level_build_grammar_sharded(
+    mesh: Mesh,
+    q_feats: jax.Array, q_lens: jax.Array,
+    bank: jax.Array, bank_lens: jax.Array,
+    bank_valid: jax.Array | None,
+    start_mask: jax.Array, pair_mask: jax.Array,
+    max_levels: int = 8,
+    word_penalty: float = 0.0,
+    squared: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Grammar-constrained level building over a ('data','bank') mesh.
+
+    The grammar couples templates ACROSS shards — entry into local
+    template v needs the best allowed GLOBAL predecessor — so the
+    per-level reduction grows from :func:`level_build_sharded`'s three
+    [T] vectors to the full [T, K] cost/start planes (an `all_gather`
+    of [T, K/nb] per shard over ICI, still tiny next to the O(T·K·U/nb)
+    local DP).  The transition masks shard by COLUMN: each shard keeps
+    ``pair_mask[:, local]`` ([K, Kl]) — ops/level_building.py:
+    level_pass_grammar is written for exactly this rectangular case
+    (global predecessor axis x local entry axis).
+
+    Shapes as level_build_sharded plus ``start_mask [K]`` /
+    ``pair_mask [K, K]`` (pad rows must arrive pre-masked False — the
+    model layer ANDs ``bank_valid`` in).  Returns ``(costs, starts)
+    [B, L, T, K]`` with GLOBAL template indices, bit-identical to the
+    single-device level_build_grammar on the valid rows
+    (tests/test_sharding.py).
+    """
+    from dsp_tpu.ops.level_building import BIG as LB_BIG
+    from dsp_tpu.ops.level_building import level_pass_grammar, local_costs
+
+    if bank_valid is None:
+        bank_valid = jnp.ones(bank.shape[0], dtype=bool)
+    penalty = jnp.asarray(word_penalty, jnp.float32)
+
+    def local(q, ql, b, bl, bv, sm, pm):
+        kl = b.shape[0]                       # local bank rows
+        k_global = pm.shape[0]                # mask rows stay global
+        lens_idx = (jnp.maximum(bl, 1) - 1)[:, None]            # [Kl, 1]
+        masks = jnp.concatenate(
+            [jnp.broadcast_to(sm[None, None, :], (1, k_global, kl)),
+             jnp.broadcast_to(pm[None],
+                              (max(max_levels - 1, 0), k_global, kl))])
+
+        def gather_plane(x):
+            # [T, Kl] local -> [T, K] global (shard axis -> column blocks)
+            g = jax.lax.all_gather(x, BANK_AXIS)                # [nb, T, Kl]
+            return jnp.moveaxis(g, 0, 1).reshape(x.shape[0], k_global)
+
+        def one(qi):
+            c = local_costs(qi, b, bl, squared, precision)      # [T, Kl, U]
+            c = jnp.where(bv[None, :, None], c, LB_BIG)
+            t_frames = c.shape[0]
+
+            def level(prev, mask):
+                # prev: [T+1, K] GLOBAL plane, replicated per shard
+                cost_l, start_l = level_pass_grammar(
+                    c, prev, mask, lens_idx, penalty)           # [T, Kl]
+                cost_g = gather_plane(cost_l)
+                start_g = gather_plane(start_l)
+                nxt = jnp.concatenate(
+                    [jnp.full((1, k_global), LB_BIG, jnp.float32), cost_g])
+                return nxt, (cost_g, start_g)
+
+            prev0 = jnp.full((t_frames + 1, k_global), LB_BIG,
+                             jnp.float32).at[0].set(0.0)
+            _, out = jax.lax.scan(level, prev0, masks)
+            return out
+
+        return jax.vmap(one)(q)
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(BANK_AXIS), P(BANK_AXIS),
+                  P(BANK_AXIS), P(BANK_AXIS), P(None, BANK_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        # the all_gather replicates the planes over 'bank' (same
+        # static-checker caveat as level_build_sharded)
+        check_vma=False,
+    )
+    return mapped(q_feats, q_lens, bank, bank_lens, bank_valid,
+                  start_mask, pair_mask)
+
+
 def recognize_sharded(
     mesh: Mesh,
     signals: jax.Array, n_samples: jax.Array,

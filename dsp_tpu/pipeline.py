@@ -499,12 +499,12 @@ def decode_connected_level(signals, mats: fe.FrontendMatrices,
     boolean arrays (ops/grammar.py:Grammar.unit_masks) switch the DP to
     the syntax-constrained variant (level_build_grammar): which
     templates may begin/end the utterance and which may follow which.
-    Grammar decoding runs single-device on the full bank even when the
-    caller holds a mesh (the model layer warns once): the grammar DP
-    carries per-template planes, so bank sharding would turn the
-    per-level [T]-vector reduction into a [T, K] all_gather — wire it
-    when a bank outgrows one chip (ROADMAP).  Mesh callers still pass
-    their padded bank; ``bank_valid`` keeps dead rows unenterable.
+    With ``mesh`` the grammar DP runs bank-sharded too
+    (parallel/sharding.py:level_build_grammar_sharded — the per-level
+    reduction grows from three [T] vectors to the [T, K] planes the
+    grammar needs); the masks arrive sized to the REAL bank and are
+    padded False here to the mesh's padded bank (``bank_valid``), so
+    dead rows stay unenterable.
 
     Returns ``(label_id_lists, costs)``: per recording the decoded
     template LABEL ids (empty when nothing is reachable) and the raw DP
@@ -518,14 +518,28 @@ def decode_connected_level(signals, mats: fe.FrontendMatrices,
         start_m, pair_m, end_m = (np.asarray(m, bool)
                                   for m in grammar_masks)
         if mesh is not None and bank_valid is not None:
-            # mesh callers pass the padded bank; dead rows must stay
-            # unenterable under the grammar too
-            pad = np.asarray(bank_valid, bool)
-            start_m = start_m & pad
-            end_m = end_m & pad
-            pair_m = pair_m & np.outer(pad, pad)
+            valid = np.asarray(bank_valid, bool)
+            kp = valid.shape[0]
+            if start_m.shape[0] < kp:        # pad masks to the padded bank
+                grow = kp - start_m.shape[0]
+                start_m = np.pad(start_m, (0, grow))
+                end_m = np.pad(end_m, (0, grow))
+                pair_m = np.pad(pair_m, ((0, grow), (0, grow)))
+            start_m = start_m & valid
+            end_m = end_m & valid
+            pair_m = pair_m & np.outer(valid, valid)
 
         def dp_fn(feats):
+            if mesh is not None:
+                from dsp_tpu.parallel.sharding import \
+                    level_build_grammar_sharded
+
+                return level_build_grammar_sharded(
+                    mesh, feats.feats, feats.length, bank.feats,
+                    bank.length, bank_valid, jnp.asarray(start_m),
+                    jnp.asarray(pair_m), max_levels=max_levels,
+                    word_penalty=word_penalty, squared=cfg.dtw.squared,
+                    precision=precision)
             return level_build_grammar(
                 feats.feats, feats.length, bank.feats, bank.length,
                 jnp.asarray(start_m), jnp.asarray(pair_m),
@@ -536,7 +550,7 @@ def decode_connected_level(signals, mats: fe.FrontendMatrices,
             return backtrack_grammar(costs, starts, pair_m, end_m, t_valid)
 
         return decode_level_generic(signals, mats, cfg, dp_fn,
-                                    bank_label_ids, precision,
+                                    bank_label_ids, precision, mesh=mesh,
                                     backtrack_fn=backtrack_fn)
 
     def dp_fn(feats):

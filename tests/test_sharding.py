@@ -273,6 +273,89 @@ def test_level_build_sharded_padded_bank():
     assert (np.asarray(got_w)[live] < k).all()   # pads never win
 
 
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (8, 1)])
+def test_level_build_grammar_sharded_matches_single(shape):
+    """Grammar DP over the mesh == single-device planes, incl. a padded
+    bank whose dead rows are masked out of the grammar."""
+    from dsp_tpu.ops.level_building import (BIG, backtrack_grammar,
+                                            level_build_grammar)
+    from dsp_tpu.parallel.sharding import level_build_grammar_sharded
+
+    rng = np.random.default_rng(31)
+    b, k, t, u, f = 8, 6, 14, 7, 4
+    q = rng.standard_normal((b, t, f)).astype(np.float32)
+    bank = rng.standard_normal((k, u, f)).astype(np.float32)
+    ql = np.full(b, t, np.int32)
+    bl = rng.integers(3, u + 1, size=k).astype(np.int32)
+    start = rng.random(k) < 0.7
+    pairs = rng.random((k, k)) < 0.7
+    end = rng.random(k) < 0.7
+    start[0] = end[0] = True
+    pairs[np.arange(k), (np.arange(k) + 1) % k] = True
+
+    want_c, want_s = level_build_grammar(
+        jnp.asarray(q), jnp.asarray(ql), jnp.asarray(bank),
+        jnp.asarray(bl), jnp.asarray(start), jnp.asarray(pairs),
+        max_levels=3, word_penalty=0.2)
+
+    kp = 8                                       # pad K 6 -> 8 for nb=8
+    bank_p = np.concatenate([bank, np.zeros((kp - k, u, f), np.float32)])
+    bl_p = np.concatenate([bl, np.ones(kp - k, np.int32)])
+    valid = np.asarray([True] * k + [False] * (kp - k))
+    start_p = np.concatenate([start, np.zeros(kp - k, bool)])
+    pairs_p = np.zeros((kp, kp), bool)
+    pairs_p[:k, :k] = pairs
+    mesh = par.make_mesh(*shape)
+    got_c, got_s = level_build_grammar_sharded(
+        mesh, jnp.asarray(q), jnp.asarray(ql), jnp.asarray(bank_p),
+        jnp.asarray(bl_p), jnp.asarray(valid), jnp.asarray(start_p),
+        jnp.asarray(pairs_p), max_levels=3, word_penalty=0.2)
+    want_c, got_c = np.asarray(want_c), np.asarray(got_c)
+    live = want_c < BIG / 2
+    np.testing.assert_array_equal(got_c[..., :k] < BIG / 2, live)
+    np.testing.assert_allclose(got_c[..., :k][live], want_c[live],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_s)[..., :k][live],
+                                  np.asarray(want_s)[live])
+    assert (got_c[..., k:] >= BIG / 2).all()     # pads never reachable
+    # end-to-end: identical backtracked sequences through either plane
+    end_p = np.concatenate([end, np.zeros(kp - k, bool)])
+    for row in range(b):
+        assert backtrack_grammar(got_c[row], np.asarray(got_s)[row],
+                                 pairs_p, end_p, t)[0] == \
+            backtrack_grammar(want_c[row], np.asarray(want_s)[row],
+                              pairs, end, t)[0]
+
+
+def test_recognizer_level_grammar_with_mesh():
+    """classify_connected(method='level', grammar=...) routes through
+    the bank-sharded grammar DP when a mesh is set and matches the
+    single-device decode — including a constraint that reroutes."""
+    from dsp_tpu.io.dataset import synth_connected, synth_word
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    rec = KnnDtwRecognizer(PipelineConfig())
+    for lab in ["zero", "one", "two"]:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(2)])
+    truth = ["two", "zero", "one"]
+    sigs = [synth_connected(truth, seed=5, gap_ms=(0.0, 1.0),
+                            lead_ms=(50.0, 60.0)),
+            synth_connected(["one", "two"], seed=9)]
+    ok = {"no_repeat": True}
+    reroute = {"start": ["zero", "one"]}         # forbids truth's "two"
+    want_ok = rec.classify_connected(sigs, max_segments=4, method="level",
+                                     grammar=ok)
+    want_re = rec.classify_connected(sigs, max_segments=4, method="level",
+                                     grammar=reroute)
+    rec.mesh = par.make_mesh(2, 4)
+    got_ok = rec.classify_connected(sigs, max_segments=4, method="level",
+                                    grammar=ok)
+    got_re = rec.classify_connected(sigs, max_segments=4, method="level",
+                                    grammar=reroute)
+    assert got_ok == want_ok == [truth, ["one", "two"]]
+    assert got_re == want_re and got_re[0][0] != "two"
+
+
 def test_recognizer_level_method_with_mesh():
     """classify_connected(method='level') routes through the bank-sharded
     DP when a mesh is set and matches the single-device decode."""
