@@ -523,8 +523,49 @@ def cmd_warm(args):
             timeout_s=args.timeout, retries=args.retries)
         print(f"warm: batch={b} bank={n_templates} matcher={matcher} "
               f"k={k} ({_time.perf_counter() - t1:.1f}s)", flush=True)
+    for mult in sorted({int(m) for m in
+                        getattr(args, "connected", "").split(",")
+                        if m.strip()}):
+        t1 = _time.perf_counter()
+        run_with_deadline(
+            _warm_connected,
+            (args.bank, cfg, args.bank_size, args.k, args.max_segments,
+             mult, getattr(args, "grammar", None)),
+            timeout_s=args.timeout, retries=args.retries)
+        print(f"warm: connected len={mult}x max_samples "
+              f"({_time.perf_counter() - t1:.1f}s)", flush=True)
     print(f"warm: done in {_time.perf_counter() - t0:.1f}s — runs at these "
           f"shapes now hit the persistent compilation cache")
+
+
+def _warm_connected(bank_path, cfg, bank_size, k, max_segments, mult,
+                    grammar):
+    """cmd_warm's connected-path child target: compile the splitter AND
+    the level-building decode (plus the grammar DP when a spec is
+    given) at one recording-length multiple — the programs `serve`'s
+    'connected '/'level ' request prefixes dispatch."""
+    import numpy as np
+
+    from dsp_tpu.io.dataset import DIGITS, synth_connected, synth_word
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    if bank_path:
+        rec = KnnDtwRecognizer.load(bank_path, cfg)
+    else:
+        rec = KnnDtwRecognizer(cfg, k=k or 1)
+        per = max(1, -(-bank_size // len(DIGITS)))
+        for lab in DIGITS:
+            rec.enroll(lab, [synth_word(lab, i, max_samples=cfg.max_samples)
+                             for i in range(per)])
+    sig = synth_connected(rec.labels[:3] or ["zero"], seed=1)
+    n = mult * cfg.max_samples
+    sig = np.pad(sig[:n], (0, max(0, n - sig.shape[0])))
+    rec.classify_connected([sig], max_segments=max_segments)
+    rec.classify_connected([sig], max_segments=max_segments,
+                           method="level")
+    if grammar:
+        rec.classify_connected([sig], max_segments=max_segments,
+                               method="level", grammar=grammar)
 
 
 def _warm_batch(bank_path, cfg, bank_size, k, matcher, shortlist, sigs):
@@ -903,6 +944,18 @@ def main(argv=None):
                    help="per-batch compile deadline (s) before the child "
                         "is killed and retried")
     p.add_argument("--retries", type=int, default=1)
+    p.add_argument("--connected", default="", metavar="M1,M2",
+                   help="also compile the connected decoders (VAD split + "
+                        "level building; + the grammar DP with --grammar) "
+                        "at these recording-length multiples of "
+                        "max_samples — the programs serve's 'connected '/"
+                        "'level ' prefixes dispatch")
+    p.add_argument("--max-segments", type=int, default=8,
+                   help="segment/level capacity for --connected warming "
+                        "(must match serving)")
+    p.add_argument("--grammar", metavar="JSON",
+                   help="grammar spec to warm the constrained DP with "
+                        "(--connected only)")
     _add_common(p)
     p.set_defaults(fn=cmd_warm)
 

@@ -69,6 +69,43 @@ def main():
         print(f"| {b} | {p(0.50):.1f} | {p(0.90):.1f} | {p(0.99):.1f} | "
               f"{1e3 * b / (sum(lat) / len(lat)):.0f} |", flush=True)
 
+    # ---- serve's other request modes, per single request (B=1): the
+    # round-3/4 surfaces the VERDICT asked TPU numbers for -------------
+    from dsp_tpu.io.dataset import synth_connected
+
+    truth = DIGITS[:3]
+    conn = synth_connected(truth, seed=77)                 # gapped
+    gapless = synth_connected(truth, seed=78, gap_ms=(0.0, 1.0))
+    grammar = {"no_repeat": True}
+    modes = [
+        ("connected (vad split)",
+         lambda: rec.classify_connected([conn], max_segments=4)),
+        ("level (gapless DP)",
+         lambda: rec.classify_connected([gapless], max_segments=4,
+                                        method="level")),
+        ("level + grammar",
+         lambda: rec.classify_connected([gapless], max_segments=4,
+                                        method="level", grammar=grammar)),
+        ("nbest (n=3)", lambda: rec.classify_nbest([conn[:cfg.max_samples]],
+                                                   n=3)),
+    ]
+    print(f"\n# per-request modes (B=1, {args.calls} calls/row, "
+          f"words/request={len(truth)})")
+    print("| request mode | p50 ms | p90 ms | p99 ms | words/s |")
+    print("|---|---|---|---|---|")
+    for name, call in modes:
+        call()                                             # compile + warm
+        lat = []
+        for _ in range(args.calls):
+            t0 = time.perf_counter()
+            call()
+            lat.append((time.perf_counter() - t0) * 1e3)
+        lat.sort()
+        p = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]
+        wps = 1e3 * len(truth) / (sum(lat) / len(lat))
+        print(f"| {name} | {p(0.50):.1f} | {p(0.90):.1f} | "
+              f"{p(0.99):.1f} | {wps:.0f} |", flush=True)
+
 
 if __name__ == "__main__":
     main()

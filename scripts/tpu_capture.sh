@@ -29,6 +29,11 @@ run() {  # run <name> <timeout_s> <cmd...>
 #    children; survives stalls)
 run warm 3600 python -m dsp_tpu warm --bank-size 100 --batches 1,8,64,256 \
     --timeout 900 --retries 2
+# connected/level/grammar decoders at the serve_latency recording shapes
+echo '{"no_repeat": true}' > "$OUT/g.json"
+run warm_conn 3600 python -m dsp_tpu warm --bank-size 100 --batches '' \
+    --connected 2,3 --max-segments 4 --grammar "$OUT/g.json" \
+    --timeout 900 --retries 2
 
 # 2. the driver-contract surfaces
 run bench 3600 python bench.py

@@ -312,6 +312,21 @@ def test_warm_command_synthetic_bank(capsys):
     assert "warm: batch=1 bank=10" in out   # 10 words x ceil(4/10)=1 each
 
 
+def test_warm_connected_paths(corpus_dir, tmp_path, capsys):
+    """warm --connected compiles the splitter, level-building and
+    grammar decoders at the given length multiple in the child."""
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    spec = str(tmp_path / "g.json")
+    with open(spec, "w") as f:
+        json.dump({"no_repeat": True}, f)
+    cli.main(["warm", "--bank", bank, "--batches", "", "--connected", "2",
+              "--grammar", spec, "--timeout", "300", "--retries", "0"])
+    out = capsys.readouterr().out
+    assert "warm: connected len=2x" in out and "warm: done" in out
+
+
 def test_evaluate_compile_timeout_runs_in_deadline_child(corpus_dir,
                                                          tmp_path, capsys):
     """--compile-timeout must produce the same result as the in-process
