@@ -161,6 +161,34 @@ def test_decode_connected_on_device_matches_vad_truth():
                                   method="level")[0] == truth
 
 
+def test_grammar_and_nbest_on_device():
+    """Round-4 surfaces on the chip: the grammar-constrained level DP
+    reroutes a forbidden decode exactly as the CPU-verified path does,
+    and classify_nbest's top-1 agrees with classify_batch."""
+    from dsp_tpu.io.dataset import synth_connected
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+
+    cfg = PipelineConfig()
+    rec = KnnDtwRecognizer(cfg)
+    for lab in ["zero", "one", "two"]:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(2)])
+    truth = ["two", "zero", "one"]
+    gapless = synth_connected(truth, seed=5, gap_ms=(0.0, 1.0),
+                              lead_ms=(50.0, 60.0))
+    assert rec.classify_connected(
+        [gapless], max_segments=4, method="level",
+        grammar={"no_repeat": True})[0] == truth
+    got = rec.classify_connected(
+        [gapless], max_segments=4, method="level",
+        grammar={"start": ["zero", "one"]})[0]
+    assert got and got[0] != "two"
+
+    sigs = [synth_word(lab, 9) for lab in ["zero", "one", "two"]]
+    hyps = rec.classify_nbest(sigs, n=3)
+    assert [h[0][0] for h in hyps] == rec.classify_batch(sigs)
+    assert all(h[0][2] >= h[1][2] >= h[2][2] for h in hyps)
+
+
 def test_serve_roundtrip_on_device(tmp_path, capsys, monkeypatch):
     """One isolated + one connected request through the resident serve
     loop, on the real chip."""
