@@ -45,6 +45,7 @@ never see NaN/inf arithmetic).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -81,7 +82,8 @@ def _shift_j(x: jax.Array, by: int, fill):
 
 
 def level_pass(c: jax.Array, prev: jax.Array, lens_idx: jax.Array,
-               word_penalty: jax.Array):
+               word_penalty: jax.Array, init=None, frame_offset=0,
+               return_carry: bool = False):
     """ONE level of the DP for one recording.
 
     Args: cost tensor ``c [T, K, U]``, previous level's ``prev [T+1]``
@@ -93,6 +95,12 @@ def level_pass(c: jax.Array, prev: jax.Array, lens_idx: jax.Array,
     the bank-sharded mesh path (parallel/sharding.py:
     level_build_sharded), which reduces these [T] triples across bank
     shards between levels.
+
+    ``init``/``frame_offset``/``return_carry`` serve the STREAMING
+    chunked variant (:func:`level_build_chunk`): resume the frame scan
+    from a carried ``(dp, tok)`` front, number frames globally (token
+    backpointers are absolute recording indices), and hand the final
+    front back.  Defaults reproduce the one-shot behavior exactly.
     """
     t_frames, k, u = c.shape
     entry_costs = prev[:t_frames] + word_penalty                # [T]
@@ -122,10 +130,14 @@ def level_pass(c: jax.Array, prev: jax.Array, lens_idx: jax.Array,
                jnp.take_along_axis(tok, lens_idx, axis=1)[:, 0][best_v])
         return (dp, tok), out
 
-    init = (jnp.full((k, u), BIG, jnp.float32),
-            jnp.zeros((k, u), jnp.int32))
-    (_, _), (cost_t, v_t, s_t) = jax.lax.scan(
-        step, init, (c, entry_costs, jnp.arange(t_frames, dtype=jnp.int32)))
+    if init is None:
+        init = (jnp.full((k, u), BIG, jnp.float32),
+                jnp.zeros((k, u), jnp.int32))
+    frames = frame_offset + jnp.arange(t_frames, dtype=jnp.int32)
+    carry, (cost_t, v_t, s_t) = jax.lax.scan(
+        step, init, (c, entry_costs, frames))
+    if return_carry:
+        return (cost_t, v_t, s_t), carry
     return cost_t, v_t, s_t
 
 
@@ -179,6 +191,86 @@ def level_build(q_feats: jax.Array, q_lens: jax.Array,
         return costs, words, starts
 
     return jax.vmap(one)(q_feats, q_lens)
+
+
+class LevelStreamState(NamedTuple):
+    """Carried DP state for STREAMING level building (one stream).
+
+    ``dp/tok [L, K, U]``: each level's live front (token plane holds
+    ABSOLUTE recording frame indices); ``last_cost [L]``: each level's
+    output cost at the last processed frame — the next chunk's first
+    entry value for the level above; ``offset``: frames processed so
+    far (drives the virtual-start plane and global token numbering).
+    """
+
+    dp: jax.Array
+    tok: jax.Array
+    last_cost: jax.Array
+    offset: jax.Array
+
+
+def level_stream_init(max_levels: int, n_templates: int,
+                      u_max: int) -> LevelStreamState:
+    """Fresh stream state (all fronts dead, zero frames seen)."""
+    return LevelStreamState(
+        dp=jnp.full((max_levels, n_templates, u_max), BIG, jnp.float32),
+        tok=jnp.zeros((max_levels, n_templates, u_max), jnp.int32),
+        last_cost=jnp.full((max_levels,), BIG, jnp.float32),
+        offset=jnp.asarray(0, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("squared", "precision"))
+def level_build_chunk(state: LevelStreamState, q_chunk: jax.Array,
+                      bank_feats: jax.Array, bank_lens: jax.Array,
+                      word_penalty: jax.Array | float = 0.0,
+                      squared: bool = False,
+                      precision=jax.lax.Precision.HIGHEST):
+    """One chunk of STREAMING level building — bit-exact vs the batch DP.
+
+    The joint DP is frame-synchronous, so it streams exactly: level
+    ``l`` at frame ``t`` needs only (l, t-1) and (l-1, t-1).  Per chunk
+    we run the levels IN ORDER over the chunk's frames; the only
+    cross-chunk memory is :class:`LevelStreamState` (each level's
+    [K, U] front + its last output cost).  Processing a recording in
+    ANY chunking reproduces :func:`level_build`'s (costs, words,
+    starts) planes bit-for-bit — same op order per frame, so not even
+    float summation order changes (tests/test_level_building.py).
+
+    Args: ``q_chunk [T_c, F]`` new feature frames (T_c static per
+    compiled program — stream drivers should feed fixed-size chunks).
+    Returns ``(new_state, (costs, words, starts) [L, T_c])`` — the
+    planes for THIS chunk's frames; the caller concatenates them
+    host-side for backtracking (ops-level :func:`backtrack` unchanged,
+    token indices are already global).
+    """
+    word_penalty = jnp.asarray(word_penalty, jnp.float32)
+    lens_idx = (jnp.maximum(bank_lens, 1) - 1)[:, None]
+    c = local_costs(q_chunk, bank_feats, bank_lens, squared, precision)
+    t_c = c.shape[0]
+    # virtual-start plane values for these frames: entering level 0 at
+    # frame t means the earlier levels consumed t frames — possible
+    # only at the very first frame of the stream
+    prev0 = jnp.where(state.offset + jnp.arange(t_c) == 0,
+                      0.0, BIG).astype(jnp.float32)
+
+    def one_level(prev_chunk, xs):
+        dp_l, tok_l, last_l = xs
+        # prev values for this level at frames [c0..c1): the level
+        # below's outputs at [c0-1..c1-1) = carried last + this chunk's
+        # all-but-last (computed right below for the next level)
+        (cost_t, v_t, s_t), (dp_n, tok_n) = level_pass(
+            c, jnp.concatenate([prev_chunk, jnp.full((1,), BIG,
+                                                     jnp.float32)]),
+            lens_idx, word_penalty, init=(dp_l, tok_l),
+            frame_offset=state.offset, return_carry=True)
+        nxt = jnp.concatenate([last_l[None], cost_t[:-1]])
+        return nxt, (dp_n, tok_n, cost_t[-1], cost_t, v_t, s_t)
+
+    _, (dp, tok, last, costs, words, starts) = jax.lax.scan(
+        one_level, prev0, (state.dp, state.tok, state.last_cost))
+    new_state = LevelStreamState(dp=dp, tok=tok, last_cost=last,
+                                 offset=state.offset + t_c)
+    return new_state, (costs, words, starts)
 
 
 def level_pass_grammar(c: jax.Array, prev: jax.Array, mask: jax.Array,

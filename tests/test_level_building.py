@@ -314,6 +314,63 @@ def test_model_grammar_spec_path_and_validation(grammar_rec, tmp_path):
             [sig], method="level", grammar=Grammar.loop(("zero", "one")))
 
 
+@pytest.mark.parametrize("chunks", [[1] * 12, [3, 3, 3, 3], [5, 7], [12]])
+def test_streaming_chunks_match_batch_dp(chunks):
+    """level_build_chunk over ANY chunking == the one-shot level_build
+    planes (the DP is frame-synchronous, so it streams exactly)."""
+    rng = np.random.default_rng(55)
+    t, f, k, u_max, max_l = 12, 3, 4, 6, 3
+    q = rng.standard_normal((t, f)).astype(np.float32)
+    templates, padded, lens = _ragged_bank(k, u_max, f, rng)
+
+    want_c, want_w, want_s = (np.asarray(x)[0] for x in lb.level_build(
+        jnp.asarray(q[None]), jnp.asarray([t], jnp.int32),
+        jnp.asarray(padded), jnp.asarray(lens), max_levels=max_l,
+        word_penalty=0.3))
+
+    state = lb.level_stream_init(max_l, k, u_max)
+    got_c, got_w, got_s = [], [], []
+    lo = 0
+    for n in chunks:
+        state, (cs, ws, ss) = lb.level_build_chunk(
+            state, jnp.asarray(q[lo:lo + n]), jnp.asarray(padded),
+            jnp.asarray(lens), word_penalty=0.3)
+        got_c.append(np.asarray(cs))
+        got_w.append(np.asarray(ws))
+        got_s.append(np.asarray(ss))
+        lo += n
+    got_c = np.concatenate(got_c, axis=1)
+    got_w = np.concatenate(got_w, axis=1)
+    got_s = np.concatenate(got_s, axis=1)
+    live = want_c < gl.BIG / 2
+    np.testing.assert_array_equal(got_c < gl.BIG / 2, live)
+    np.testing.assert_allclose(got_c[live], want_c[live], rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_array_equal(got_w[live], want_w[live])
+    np.testing.assert_array_equal(got_s[live], want_s[live])
+    # and the backtrack over the accumulated planes decodes identically
+    assert lb.backtrack(got_c, got_w, got_s, t) == \
+        lb.backtrack(want_c, want_w, want_s, t)
+
+
+def test_streaming_state_resume_is_pure():
+    """Feeding the same chunk from a saved state twice gives identical
+    results (the state is a value, not hidden mutation)."""
+    rng = np.random.default_rng(56)
+    q = rng.standard_normal((8, 2)).astype(np.float32)
+    templates, padded, lens = _ragged_bank(3, 4, 2, rng)
+    st0 = lb.level_stream_init(2, 3, 4)
+    st1, _ = lb.level_build_chunk(st0, jnp.asarray(q[:4]),
+                                  jnp.asarray(padded), jnp.asarray(lens))
+    _, (a, _, _) = lb.level_build_chunk(st1, jnp.asarray(q[4:]),
+                                        jnp.asarray(padded),
+                                        jnp.asarray(lens))
+    _, (b, _, _) = lb.level_build_chunk(st1, jnp.asarray(q[4:]),
+                                        jnp.asarray(padded),
+                                        jnp.asarray(lens))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_word_penalty_prefers_fewer_words():
     """Two identical adjacent words: with a huge per-word penalty a
     single long template (the two concatenated) must win over two
