@@ -8,3 +8,7 @@ __all__ = ["KnnDtwRecognizer", "GmmHmmRecognizer", "HmmParams", "fit_word", "sco
 from dsp_tpu.models.streaming import StreamingRecognizer  # noqa: E402
 
 __all__.append("StreamingRecognizer")
+
+from dsp_tpu.models.spotter import KeywordSpotter, StreamingSpotter  # noqa: E402
+
+__all__ += ["KeywordSpotter", "StreamingSpotter"]

@@ -1,0 +1,273 @@
+"""Keyword spotting over the enrolled template bank.
+
+The reference framework (SURVEY.md §2a, §3.3) recognises words only
+after its endpoint detector has cut them out of silence-delimited
+audio.  The spotter removes that requirement: it matches every
+enrolled template against ANY contiguous span of a long, unsegmented
+recording via subsequence DTW (ops/spot.py) and reports
+``(label, start_frame, end_frame, score)`` events — keyword search in
+continuous audio, the natural extension of the reference's live-demo
+stack (SURVEY §3.3: continuous mic capture).
+
+Two surfaces:
+
+* :class:`KeywordSpotter` — offline batch: whole recordings in, event
+  lists out.  The per-(recording x template) cost GEMMs batch on the
+  MXU; recordings are grouped by quantised padded length (compile-shape
+  discipline shared with pipeline._decode_level_common) and sub-batched
+  so the [B, K, T, U] cost intermediate stays bounded.
+
+* :class:`StreamingSpotter` — online: raw audio chunks in, events out
+  as they are confirmed.  Couples the causal streaming front-end
+  (ops/streaming.py — bit-exact offline framing grid) to the SPRING
+  column update (ops/spot.py:spot_chunk).  A frame's [c, Δ, ΔΔ] row is
+  final once ``2*delta_width`` more frames exist, so the DP runs that
+  many frames (~40 ms) behind the microphone, exactly like
+  StreamingConnectedRecognizer.  Events are emitted once no
+  still-improvable match can overlap them (best-match hangover), which
+  reproduces the offline extractor's output whenever keyword hits are
+  separated by at least ``hangover`` frames.
+
+Score envelope: scores are span-normalised DTW distances (same units
+as the classifier's normalised distances), so ``threshold`` transfers
+across template lengths.  VAD is bypassed entirely — spotting IS the
+segmentation.  With ``cfg.frontend.cmn`` the offline stream is
+normalised over the whole recording (an utterance-global statistic
+does not exist here) while bank templates were normalised per
+utterance; enroll a ``cmn=False`` bank for spotting (the default).
+Streaming requires ``cmn=False`` and ``feature_type='mfcc'``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from dsp_tpu import pipeline as pl
+from dsp_tpu.config import PipelineConfig
+from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+from dsp_tpu.ops import spot as sp
+from dsp_tpu.ops import streaming as st
+
+# cap on the [B, K, T, U] f32 cost intermediate per device program
+_COST_BUDGET_ELEMS = 64 * 1024 * 1024
+
+
+class KeywordSpotter:
+    """Offline keyword search: recordings in, spotting events out."""
+
+    def __init__(self, recognizer: KnnDtwRecognizer,
+                 threshold: float = 0.35):
+        self.rec = recognizer
+        self.threshold = threshold
+        # spotting consumes the WHOLE recording: no VAD trim
+        self.cfg: PipelineConfig = dataclasses.replace(
+            recognizer.cfg, use_vad=False)
+        self.mats = recognizer.mats
+
+    # ---------------------------------------------------------------
+    def frame_to_seconds(self, frame: int) -> float:
+        f = self.cfg.frontend
+        return frame * f.hop_len / f.sample_rate
+
+    def scores(self, signals):
+        """Per-recording score fields: list of (norm [K, T_i], start
+        [K, T_i]) numpy arrays (T_i = recording's true frame count)."""
+        if not len(signals):
+            return []
+        bank, _ = self.rec.device_bank()
+        k, u_t = bank.feats.shape[0], bank.feats.shape[1]
+        quantum = self.cfg.max_samples
+        f = self.cfg.frontend
+        order = np.argsort([len(np.asarray(s)) for s in signals],
+                           kind="stable")
+        groups: dict = {}
+        for i in order:
+            n_len = max(1, len(np.asarray(signals[i])))
+            pad_len = quantum * -(-n_len // quantum)
+            groups.setdefault(pad_len, []).append(i)
+        results: dict = {}
+        for pad_len, idxs in groups.items():
+            t_max = max(1, 1 + (pad_len - f.frame_len) // f.hop_len)
+            sub = max(1, _COST_BUDGET_ELEMS // (k * u_t * t_max))
+            for lo in range(0, len(idxs), sub):
+                part = idxs[lo:lo + sub]
+                x, n = pl.pad_signals([signals[i] for i in part], pad_len)
+                feats = pl.extract_recording_features(
+                    jnp.asarray(x), jnp.asarray(n), self.mats, self.cfg,
+                    t_max)
+                norm, start = sp.subseq_dtw_batch(
+                    feats.feats, feats.length, bank.feats, bank.length,
+                    squared=self.cfg.dtw.squared)
+                norm, start = np.asarray(norm), np.asarray(start)
+                lens = np.asarray(feats.length)
+                for row, i in enumerate(part):
+                    t_i = int(lens[row])
+                    results[i] = (norm[row, :, :t_i], start[row, :, :t_i])
+        return [results[i] for i in range(len(signals))]
+
+    def spot(self, signals, threshold: float | None = None):
+        """Recordings -> per-recording [(label, start_frame, end_frame,
+        score)] event lists (label strings, frames on the offline
+        grid, span-normalised scores)."""
+        thr = self.threshold if threshold is None else threshold
+        _, ids = self.rec.device_bank()
+        ids = np.asarray(ids)
+        out = []
+        for norm, start in self.scores(signals):
+            evs = sp.extract_events(norm, start, thr, labels=ids)
+            out.append([(self.rec.labels[lbl], s, e, sc)
+                        for lbl, s, e, sc in evs])
+        return out
+
+
+class StreamingSpotter:
+    """Online keyword search over raw audio chunks (SPRING DP).
+
+    ``feed(chunk)`` returns the events CONFIRMED by that chunk; an
+    event is confirmed once ``hangover`` stream frames pass without an
+    overlapping better match (or a new sub-threshold match begins after
+    its end).  ``flush()`` closes the stream and emits any pending
+    match.  Frame indices are global stream frames (offline grid).
+    """
+
+    def __init__(self, recognizer: KnnDtwRecognizer, chunk_len: int = 1600,
+                 threshold: float = 0.35, hangover: int = 25):
+        self.rec = recognizer
+        self.cfg = recognizer.cfg
+        f = self.cfg.frontend
+        if f.feature_type != "mfcc":
+            raise NotImplementedError(
+                "StreamingSpotter supports feature_type='mfcc' only")
+        if f.cmn:
+            raise NotImplementedError(
+                "cmn is a whole-stream statistic; enroll a cmn=False "
+                "bank for streaming spotting")
+        self.chunk_len = chunk_len
+        self.threshold = threshold
+        self.hangover = hangover
+        self.mats = recognizer.mats
+        bank, ids = recognizer.device_bank()
+        self._bank = bank
+        self._ids = np.asarray(ids)
+        self._w = f.delta_width if f.add_deltas else 0
+        self._lag = 2 * self._w
+        # fixed DP feed-buffer width: frames a chunk can yield, + slack
+        self._buf = max(8, 2 + chunk_len // f.hop_len + self._lag)
+        self.reset()
+
+    def reset(self) -> None:
+        k, t = self._bank.feats.shape[0], self._bank.feats.shape[1]
+        self.state = st.init_state(self.cfg.frontend, self.chunk_len)
+        self.dp = sp.spot_init(k, t)
+        self._frames: list[np.ndarray] = []   # raw 13-dim MFCC history
+        self._offset = 0                      # global index of _frames[0]
+        self._fed = 0                         # global frames fed to DP
+        self._pending = None                  # (label, s, e, score)
+        self._last_improve = -1
+
+    # ------------------------------------------------------------ internals
+    def _final_feats(self, upto: int, final: bool) -> np.ndarray:
+        """[c, Δ, ΔΔ] rows for global frames [self._fed, upto); each row
+        equals offline add_deltas over the whole stream (edge
+        replication can only touch rows within 2w of the stream start,
+        where the sliding window clamps identically)."""
+        f = self.cfg.frontend
+        if upto <= self._fed:
+            return np.zeros((0, 0), np.float32)
+        lo_ctx = max(0, self._fed - 2 * self._w)
+        hi_ctx = upto + (0 if final else self._lag)
+        ctx = np.stack(self._frames[lo_ctx - self._offset:
+                                    hi_ctx - self._offset]).astype(np.float32)
+        if not f.add_deltas:
+            return ctx[self._fed - lo_ctx: upto - lo_ctx]
+        from dsp_tpu.models.streaming import _np_deltas
+        d1 = _np_deltas(ctx, self._w)
+        d2 = _np_deltas(d1, self._w)
+        rows = np.concatenate([ctx, d1, d2], axis=1)
+        return rows[self._fed - lo_ctx: upto - lo_ctx]
+
+    def _feed_dp(self, rows: np.ndarray):
+        """Feed final feature rows to the SPRING DP; update pending."""
+        events = []
+        for lo in range(0, len(rows), self._buf):
+            part = rows[lo:lo + self._buf]
+            buf = np.zeros((self._buf, rows.shape[1]), np.float32)
+            buf[:len(part)] = part
+            self.dp, norm, start = sp.spot_chunk(
+                self.dp, jnp.asarray(buf),
+                jnp.asarray(len(part), jnp.int32),
+                self._bank.feats, self._bank.length,
+                squared=self.cfg.dtw.squared)
+            norm = np.asarray(norm)[:, :len(part)]
+            start = np.asarray(start)[:, :len(part)]
+            events.extend(self._update_pending(norm, start))
+        return events
+
+    def _update_pending(self, norm: np.ndarray, start: np.ndarray):
+        """Advance the best-match hangover with a block of per-frame
+        score columns beginning at global frame self._fed."""
+        events = []
+        k, c = norm.shape
+        for col in range(c):
+            j = self._fed + col
+            r = int(np.argmin(norm[:, col]))
+            sc = float(norm[r, col])
+            if sc < self.threshold:
+                s = int(start[r, col])
+                if self._pending is None:
+                    self._pending = (r, s, j, sc)
+                    self._last_improve = j
+                elif s > self._pending[2]:
+                    # new match starts after pending ends: confirm it
+                    events.append(self._emit())
+                    self._pending = (r, s, j, sc)
+                    self._last_improve = j
+                elif sc < self._pending[3]:
+                    self._pending = (r, s, j, sc)
+                    self._last_improve = j
+            if (self._pending is not None
+                    and j - self._last_improve >= self.hangover):
+                events.append(self._emit())
+        self._fed += c
+        return events
+
+    def _emit(self):
+        r, s, e, sc = self._pending
+        self._pending = None
+        return (self.rec.labels[int(self._ids[r])], s, e, sc)
+
+    def _trim_history(self) -> None:
+        # keep the delta context window behind the DP frontier
+        keep_from = max(0, self._fed - 2 * self._w - self._offset)
+        if keep_from > 2048:
+            del self._frames[:keep_from]
+            self._offset += keep_from
+
+    # ------------------------------------------------------------ public
+    def feed(self, chunk: np.ndarray):
+        """One audio chunk -> list of confirmed spotting events."""
+        assert len(chunk) == self.chunk_len
+        self.state, out = st.process_chunk(
+            self.state, jnp.asarray(chunk, dtype=jnp.float32), self.mats,
+            self.cfg.frontend, self.cfg.vad, self.chunk_len)
+        mfcc = np.asarray(out.mfcc)
+        valid = np.asarray(out.frame_valid)
+        self._frames.extend(mfcc[valid])
+        n_total = self._offset + len(self._frames)
+        rows = self._final_feats(max(self._fed, n_total - self._lag),
+                                 final=False)
+        events = self._feed_dp(rows) if len(rows) else []
+        self._trim_history()
+        return events
+
+    def flush(self):
+        """End of stream: feed the lagged tail, emit any pending match."""
+        n_total = self._offset + len(self._frames)
+        rows = self._final_feats(n_total, final=True)
+        events = self._feed_dp(rows) if len(rows) else []
+        if self._pending is not None:
+            events.append(self._emit())
+        return events
