@@ -202,6 +202,32 @@ def cmd_make_corpus(args):
         with open(os.path.join(d, "labels.tsv"), "w") as f:
             f.write("\n".join(lines) + "\n")
         log.info("wrote %d connected clips to %s", args.connected, d)
+    if args.spotting > 0:
+        # spotting split: continuous streams of keyword + distractor
+        # words with an events.tsv ground truth (file<TAB>
+        # label:start_sample:end_sample ...), consumed by evaluate-spot.
+        # Keywords = the corpus vocabulary (what `enroll` builds a bank
+        # for); distractors come from the REST of the digit vocabulary.
+        from dsp_tpu.io.dataset import synth_spotting_stream
+        keywords = DIGITS[: args.words]
+        # distractors: remaining digits, or out-of-vocabulary words when
+        # the whole digit set is enrolled (synth_word is procedural in
+        # the label string, so any word has a deterministic sound)
+        distract = ([w for w in DIGITS if w not in keywords]
+                    or ["alpha", "bravo", "charlie"])
+        vocab = keywords + distract
+        d = os.path.join(args.out, "spotting")
+        os.makedirs(d, exist_ok=True)
+        lines = []
+        for i in range(args.spotting):
+            sig, events = synth_spotting_stream(keywords, vocab, 3000 + i)
+            name = f"stream_{i:03d}.wav"
+            write_wav(os.path.join(d, name), 16000, sig)
+            cells = " ".join(f"{lab}:{s}:{e}" for lab, s, e in events)
+            lines.append(f"{name}\t{cells}")
+        with open(os.path.join(d, "events.tsv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        log.info("wrote %d spotting streams to %s", args.spotting, d)
 
 
 def cmd_enroll(args):
@@ -363,6 +389,97 @@ def cmd_evaluate_connected(args):
         m = RunMetrics("evaluate-connected")
         m.record(wer=wer, exact_sequence_accuracy=exact_acc,
                  n_words=n_words, n_clips=len(truths), config=cfg)
+        m.dump(args.metrics_out)
+
+
+def cmd_spot(args):
+    """Keyword search in unsegmented WAVs (models/spotter.py)."""
+    from dsp_tpu.io.wav import read_wav
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    from dsp_tpu.models.spotter import KeywordSpotter, StreamingSpotter
+    cfg = _pipeline_cfg(args)
+    rec = KnnDtwRecognizer.load(args.bank, cfg)
+    sigs = [read_wav(p, cfg.frontend.sample_rate)[1] for p in args.wavs]
+    if args.stream:
+        # online path: feed fixed chunks, emit events as confirmed
+        for path, sig in zip(args.wavs, sigs):
+            ss = StreamingSpotter(rec, threshold=args.threshold)
+            pad = (-len(sig)) % ss.chunk_len
+            sig = np.concatenate([sig, np.zeros(pad, np.float32)])
+            events = []
+            for lo in range(0, len(sig), ss.chunk_len):
+                events += ss.feed(sig[lo:lo + ss.chunk_len])
+            events += ss.flush()
+            _print_spot_events(path, events, rec.cfg)
+        return
+    spotter = KeywordSpotter(rec, threshold=args.threshold)
+    for path, events in zip(args.wavs, spotter.spot(sigs)):
+        _print_spot_events(path, events, cfg)
+
+
+def _print_spot_events(path, events, cfg):
+    f = cfg.frontend
+    for lab, s, e, sc in events:
+        print(f"{path}\t{lab}\t{s * f.hop_len / f.sample_rate:.2f}"
+              f"\t{e * f.hop_len / f.sample_rate:.2f}\t{sc:.3f}")
+    if not events:
+        print(f"{path}\t-")
+
+
+def cmd_evaluate_spot(args):
+    """Precision/recall/F1 of keyword spotting on a spotting corpus
+    (make-corpus --spotting).  A spotted event is a TRUE POSITIVE when
+    its frame span covers >= 50% of a same-label ground-truth span (one
+    match per truth event); everything else it emits is a false alarm."""
+    from dsp_tpu.io.wav import read_wav
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    from dsp_tpu.models.spotter import KeywordSpotter
+    cfg = _pipeline_cfg(args)
+    rec = KnnDtwRecognizer.load(args.bank, cfg)
+    hop = cfg.frontend.hop_len
+    names, sigs, truths = [], [], []
+    with open(os.path.join(args.corpus, "events.tsv")) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            name, _, cellstr = line.rstrip("\n").partition("\t")
+            names.append(name)
+            sigs.append(read_wav(os.path.join(args.corpus, name),
+                                 cfg.frontend.sample_rate)[1])
+            evs = []
+            for cell in cellstr.split():
+                lab, s, e = cell.rsplit(":", 2)
+                evs.append((lab, int(s) // hop, int(e) // hop))
+            truths.append(evs)
+    spotter = KeywordSpotter(rec, threshold=args.threshold)
+    got = spotter.spot(sigs)
+    tp = fa = 0
+    n_truth = sum(len(t) for t in truths)
+    for evs, truth in zip(got, truths):
+        unmatched = list(truth)
+        for lab, s, e, _ in evs:
+            best = None
+            for i, (tl, ts, te) in enumerate(unmatched):
+                ov = min(e, te) - max(s, ts) + 1
+                if tl == lab and ov >= 0.5 * (te - ts):
+                    best = i
+                    break
+            if best is None:
+                fa += 1
+            else:
+                tp += 1
+                unmatched.pop(best)
+    prec = tp / max(tp + fa, 1)
+    rec_ = tp / max(n_truth, 1)
+    f1 = 2 * prec * rec_ / max(prec + rec_, 1e-9)
+    print(f"precision: {prec:.4f} ({tp}/{tp + fa} events)")
+    print(f"recall: {rec_:.4f} ({tp}/{n_truth} keywords)")
+    print(f"f1: {f1:.4f}  threshold: {args.threshold}")
+    if args.metrics_out:
+        m = RunMetrics("evaluate-spot")
+        m.record(precision=prec, recall=rec_, f1=f1, tp=tp,
+                 false_alarms=fa, n_truth=n_truth,
+                 threshold=args.threshold, config=cfg)
         m.dump(args.metrics_out)
 
 
@@ -819,6 +936,11 @@ def main(argv=None):
                    help="butt the connected words together with NO "
                         "silence gaps (decode with --connected-method "
                         "level; the VAD splitter cannot segment these)")
+    p.add_argument("--spotting", type=int, default=0, metavar="N",
+                   help="also write N continuous keyword-spotting "
+                        "streams (keywords + out-of-vocabulary "
+                        "distractor words, short gaps) + events.tsv "
+                        "ground truth (for evaluate-spot)")
     p.add_argument("--hostile", action="store_true",
                    help="adversarial corpus: 35 confusable classes, "
                         "held-out test speakers (io/hostile.py)")
@@ -873,6 +995,33 @@ def main(argv=None):
     _add_noise_adapt(p)
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_connected)
+
+    p = sub.add_parser("spot", help="keyword search in unsegmented WAVs")
+    p.add_argument("--bank", required=True,
+                   help="template bank of the KEYWORDS to spot")
+    p.add_argument("--threshold", type=float, default=30.0,
+                   help="span-normalised DTW score below which a match "
+                        "is an event (same units as classify "
+                        "distances; on the synthetic spotting corpus "
+                        "every threshold in [25, 50] measures P=R=F1="
+                        "1.0 — calibrate per deployment with "
+                        "evaluate-spot on held-out streams)")
+    p.add_argument("--stream", action="store_true",
+                   help="online SPRING decode (events confirmed "
+                        "chunk-by-chunk) instead of the offline batch")
+    p.add_argument("wavs", nargs="+")
+    _add_common(p)
+    p.set_defaults(fn=cmd_spot)
+
+    p = sub.add_parser("evaluate-spot",
+                       help="precision/recall/F1 of keyword spotting")
+    p.add_argument("--corpus", required=True,
+                   help="dir with events.tsv + WAVs (make-corpus "
+                        "--spotting)")
+    p.add_argument("--bank", required=True)
+    p.add_argument("--threshold", type=float, default=30.0)
+    _add_common(p)
+    p.set_defaults(fn=cmd_evaluate_spot)
 
     p = sub.add_parser("serve",
                        help="resident recognition loop (stdin WAV paths "

@@ -102,6 +102,45 @@ def synth_connected(labels, seed: int, sr: int = 16000,
     return x.astype(np.float32)
 
 
+def synth_spotting_stream(keywords, vocab, seed: int, n_words: int = 8,
+                          sr: int = 16000, gap_ms=(120.0, 300.0),
+                          lead_ms=(150.0, 400.0), noise: float = 0.003):
+    """One continuous stream of random words; keyword spans annotated.
+
+    Draws ``n_words`` words uniformly from ``vocab`` (which should
+    contain the ``keywords`` plus distractors), butts them together
+    with short gaps (well below any VAD merge threshold — the stream is
+    NOT meant to be segmentable), and returns ``(signal float32 [N],
+    events)`` where events are ``(label, start_sample, end_sample)``
+    for each KEYWORD occurrence.  Deterministic in (keywords, vocab,
+    seed).  Consumed by the spotting corpus writer (cli make-corpus
+    --spotting) and the spotting eval harness.
+    """
+    kw = set(keywords)
+    rng = np.random.default_rng(
+        _fnv(("|".join(sorted(kw)) + "|" + "|".join(vocab)
+              + f"|{int(seed)}").encode()) % (2**32))
+    pieces = [np.zeros(int(rng.uniform(*lead_ms) / 1000.0 * sr))]
+    pos = len(pieces[0])
+    events = []
+    for i in range(n_words):
+        lab = vocab[int(rng.integers(len(vocab)))]
+        w = synth_word(lab, seed * 977 + i, sr,
+                       max_samples=int(2.0 * sr), noise=0.0)
+        nz = np.nonzero(np.abs(w) > 0)[0]
+        w = w[nz[0]: nz[-1] + 1] if len(nz) else w
+        if lab in kw:
+            events.append((lab, pos, pos + len(w)))
+        pieces.append(w)
+        pos += len(w)
+        g = np.zeros(int(rng.uniform(*gap_ms) / 1000.0 * sr))
+        pieces.append(g)
+        pos += len(g)
+    x = np.concatenate(pieces)
+    x = x + noise * rng.standard_normal(len(x))
+    return x.astype(np.float32), events
+
+
 def make_corpus(labels=None, n_per_word: int = 3, seed: int = 0,
                 sr: int = 16000, max_samples: int = 32000,
                 noise: float = 0.005):

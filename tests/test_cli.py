@@ -349,3 +349,29 @@ def test_make_corpus_hostile_defaults_to_full_vocab(tmp_path):
     d = str(tmp_path / "hostile")
     cli.main(["make-corpus", "--out", d, "--n", "1", "--hostile"])
     assert len(os.listdir(os.path.join(d, "train"))) == 35
+
+
+def test_spot_and_evaluate_spot(tmp_path, capsys):
+    """make-corpus --spotting -> enroll -> evaluate-spot finds the
+    planted keywords (threshold in the measured [25, 50] window), and
+    `spot` prints events for a single stream."""
+    d = str(tmp_path / "c")
+    cli.main(["make-corpus", "--out", d, "--n", "2", "--words", "3",
+              "--spotting", "2"])
+    spotting = os.path.join(d, "spotting")
+    assert os.path.exists(os.path.join(spotting, "events.tsv"))
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(d, "train"),
+              "--bank", bank])
+    capsys.readouterr()
+    cli.main(["evaluate-spot", "--corpus", spotting, "--bank", bank,
+              "--threshold", "30"])
+    out = capsys.readouterr().out
+    f1 = float(out.rsplit("f1:", 1)[1].split()[0])
+    assert f1 >= 0.6
+    wav = os.path.join(
+        spotting, sorted(p for p in os.listdir(spotting)
+                         if p.endswith(".wav"))[0])
+    cli.main(["spot", "--bank", bank, "--threshold", "30", wav])
+    out = capsys.readouterr().out
+    assert wav in out
