@@ -89,19 +89,36 @@ class KeywordSpotter:
             pad_len = quantum * -(-n_len // quantum)
             groups.setdefault(pad_len, []).append(i)
         results: dict = {}
+        mesh = self.rec.mesh
         for pad_len, idxs in groups.items():
             t_max = max(1, 1 + (pad_len - f.frame_len) // f.hop_len)
             sub = max(1, _COST_BUDGET_ELEMS // (k * u_t * t_max))
             for lo in range(0, len(idxs), sub):
                 part = idxs[lo:lo + sub]
                 x, n = pl.pad_signals([signals[i] for i in part], pad_len)
+                b_orig = x.shape[0]
+                if mesh is not None:
+                    from dsp_tpu import parallel as par
+                    nd = mesh.shape[par.DATA_AXIS]
+                    x, b_orig = par.pad_axis_to_multiple(np.asarray(x), nd)
+                    n, _ = par.pad_axis_to_multiple(np.asarray(n), nd)
+                    n = np.maximum(n, f.frame_len)
                 feats = pl.extract_recording_features(
                     jnp.asarray(x), jnp.asarray(n), self.mats, self.cfg,
                     t_max)
-                norm, start = sp.subseq_dtw_batch(
-                    feats.feats, feats.length, bank.feats, bank.length,
-                    squared=self.cfg.dtw.squared)
-                norm, start = np.asarray(norm), np.asarray(start)
+                if mesh is not None:
+                    from dsp_tpu import parallel as par
+                    bf, bl, _, bv = self.rec.sharded_bank()
+                    norm, start = par.spot_sharded(
+                        mesh, feats.feats, feats.length, bf, bl, bv,
+                        squared=self.cfg.dtw.squared)
+                    norm = np.asarray(norm)[:b_orig, :k]
+                    start = np.asarray(start)[:b_orig, :k]
+                else:
+                    norm, start = sp.subseq_dtw_batch(
+                        feats.feats, feats.length, bank.feats, bank.length,
+                        squared=self.cfg.dtw.squared)
+                    norm, start = np.asarray(norm), np.asarray(start)
                 lens = np.asarray(feats.length)
                 for row, i in enumerate(part):
                     t_i = int(lens[row])

@@ -94,8 +94,12 @@ def subseq_dtw_from_cost(cost: jax.Array, len_a: jax.Array,
         acc_s = jnp.where(at_end, s_row, acc_s)
         return (d_row, s_row, acc_d, acc_s), None
 
-    init = (jnp.full_like(cost[0], BIG), jnp.zeros(u, jnp.int32),
-            jnp.full_like(cost[0], BIG), jnp.zeros(u, jnp.int32))
+    # derive the init carry (incl. the int32 witness rows) from `cost`
+    # so its varying-axes type matches the scan output under shard_map
+    # (same discipline as ops/dtw.py:dtw_from_cost)
+    zero_i = (0 * cost[0]).astype(jnp.int32)
+    init = (jnp.full_like(cost[0], BIG), zero_i,
+            jnp.full_like(cost[0], BIG), zero_i)
     (_, _, d_end, s_end), _ = jax.lax.scan(
         row_step, init, (cost, jnp.arange(t)))
     span = (iota - s_end + 1).astype(cost.dtype)
@@ -116,6 +120,21 @@ def subseq_cost(tmpl: jax.Array, stream: jax.Array, len_b: jax.Array,
                      jnp.asarray(BIG, c.dtype))
 
 
+def subseq_dtw_batch_impl(streams: jax.Array, stream_lens: jax.Array,
+                          bank: jax.Array, bank_lens: jax.Array,
+                          squared: bool = False,
+                          precision=jax.lax.Precision.HIGHEST):
+    """Unjitted all-pairs spotting body (shared with the bank-sharded
+    mesh path, parallel/sharding.py:spot_sharded)."""
+    def one(stream, slen, tmpl, tlen):
+        c = subseq_cost(tmpl, stream, slen, squared, precision)
+        return subseq_dtw_from_cost(c, tlen, slen)
+
+    per_tmpl = jax.vmap(one, in_axes=(None, None, 0, 0))
+    per_stream = jax.vmap(per_tmpl, in_axes=(0, 0, None, None))
+    return per_stream(streams, stream_lens, bank, bank_lens)
+
+
 @functools.partial(jax.jit, static_argnames=("squared", "precision"))
 def subseq_dtw_batch(streams: jax.Array, stream_lens: jax.Array,
                      bank: jax.Array, bank_lens: jax.Array,
@@ -126,13 +145,8 @@ def subseq_dtw_batch(streams: jax.Array, stream_lens: jax.Array,
     streams [B,U,F], bank [K,T,F] -> (norm [B,K,U], start [B,K,U]).
     The B*K cost GEMMs batch on the MXU; the row scan is shared.
     """
-    def one(stream, slen, tmpl, tlen):
-        c = subseq_cost(tmpl, stream, slen, squared, precision)
-        return subseq_dtw_from_cost(c, tlen, slen)
-
-    per_tmpl = jax.vmap(one, in_axes=(None, None, 0, 0))
-    per_stream = jax.vmap(per_tmpl, in_axes=(0, 0, None, None))
-    return per_stream(streams, stream_lens, bank, bank_lens)
+    return subseq_dtw_batch_impl(streams, stream_lens, bank, bank_lens,
+                                 squared, precision)
 
 
 # ---------------------------------------------------------------- streaming

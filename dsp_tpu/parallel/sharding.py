@@ -310,3 +310,43 @@ def recognize_sharded(
         mesh, feats.feats, feats.length, bank_feats, bank_lens,
         bank_label_ids, bank_valid, cfg.dtw, precision,
         k=k, n_labels=n_labels, return_full=return_full)
+
+
+def spot_sharded(
+    mesh: Mesh,
+    streams: jax.Array, stream_lens: jax.Array,
+    bank: jax.Array, bank_lens: jax.Array,
+    bank_valid: jax.Array | None = None,
+    squared: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Subsequence-DTW keyword spotting over a ('data','bank') mesh.
+
+    streams [B, U, F] sharded P('data'), bank [K, T, F] sharded
+    P('bank'): each device scans its template shard over its stream
+    shard — embarrassingly parallel, ZERO collectives; the per-column
+    score field comes back sharded over BOTH axes
+    (norm/start [B, K, U], P('data','bank')) and the host-side event
+    extraction (ops/spot.py:extract_events) consumes the assembled
+    [K, U] planes per stream (K*U scalars — spotting-size banks).
+    Padding templates (bank_valid False) score BIG everywhere.
+    """
+    from dsp_tpu.ops import spot as ops_spot
+
+    if bank_valid is None:
+        bank_valid = jnp.ones(bank.shape[0], dtype=bool)
+
+    def local(s, sl, b, bl, bv):
+        norm, start = ops_spot.subseq_dtw_batch_impl(
+            s, sl, b, bl, squared, precision)
+        norm = jnp.where(bv[None, :, None], norm, jdtw.BIG)
+        return norm, start
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(BANK_AXIS), P(BANK_AXIS),
+                  P(BANK_AXIS)),
+        out_specs=(P(DATA_AXIS, BANK_AXIS), P(DATA_AXIS, BANK_AXIS)),
+    )
+    return mapped(streams, stream_lens, bank, bank_lens, bank_valid)

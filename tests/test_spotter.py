@@ -160,3 +160,27 @@ def test_streaming_chunk_size_invariance(rec):
     # same hits regardless of chunking (trailing-pad frames differ only
     # past the last hit)
     assert [e[:3] for e in outs[0]] == [e[:3] for e in outs[1]]
+
+
+def test_mesh_spotting_matches_single_device(rec):
+    """Bank-sharded spotting over a ('data','bank') mesh is bit-exact vs
+    the single-device spotter (zero collectives — each device scans its
+    template shard; padding templates score BIG and emit nothing)."""
+    from dsp_tpu import parallel as par
+
+    sig1, _ = _build_stream(WORDS, seed=2)
+    sig2, _ = _build_stream(["zero", "three"], seed=9)
+    single = KeywordSpotter(rec)
+    want = single.spot([sig1, sig2], threshold=30.0)
+
+    mrec = KnnDtwRecognizer(PipelineConfig(), mesh=par.make_mesh(2, 4))
+    for lab in ["zero", "one"]:
+        mrec.enroll(lab, [synth_word(lab, i) for i in range(3)])
+    msp = KeywordSpotter(mrec)
+    got = msp.spot([sig1, sig2], threshold=30.0)
+    assert got == want
+    # and the raw score planes agree exactly
+    (n1, s1), = single.scores([sig1])
+    (n2, s2), = msp.scores([sig1])
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(s1, s2)
