@@ -211,6 +211,21 @@ def main():
           unit="words/s/chip (gapless level-building DP, 3-word clips, "
                "100-template bank)")
 
+    # ---- bonus: keyword spotting (subsequence DTW) --------------------------
+    from dsp_tpu.ops.spot import subseq_dtw_batch_impl
+
+    @jax.jit
+    def spot_step(f, token):
+        norm, _ = subseq_dtw_batch_impl(token_mix(f, token),
+                                        conn_feats.length,
+                                        bank100.feats, bank100.length)
+        return norm
+
+    audio_s = float(np.sum(clens)) / cfg.frontend.sample_rate
+    timed(spot_step, (conn_feats.feats,), 4, audio_s, config="spot",
+          metric="spotting_audio_seconds_per_sec_per_chip",
+          unit="audio-s/s/chip (100-template subsequence scan, witnesses)")
+
     # ---- bonus: linear-time-warp fast matcher ------------------------------
     @jax.jit
     def ltw(x, token):

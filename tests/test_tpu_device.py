@@ -218,3 +218,27 @@ def test_serve_roundtrip_on_device(tmp_path, capsys, monkeypatch):
     assert any(wav1 in ln and f"\t{lab}\t" in ln for ln in out.splitlines())
     assert any(wav2 in ln and " ".join(labels2) in ln
                for ln in out.splitlines())
+
+
+def test_keyword_spotting_on_device():
+    """Round-4 surface: the subsequence-DTW spotter finds enrolled
+    keywords among distractor words on the real chip, matching the
+    CPU-verified event semantics (labels in order, spans overlap)."""
+    from dsp_tpu.io.dataset import synth_spotting_stream
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    from dsp_tpu.models.spotter import KeywordSpotter
+
+    cfg = PipelineConfig()
+    rec = KnnDtwRecognizer(cfg)
+    for lab in ["zero", "one"]:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(3)])
+    vocab = ["zero", "one", "three", "four", "five"]
+    sig, truth = synth_spotting_stream({"zero", "one"}, vocab, seed=11,
+                                       n_words=6)
+    events, = KeywordSpotter(rec, threshold=30.0).spot([sig])
+    hop = cfg.frontend.hop_len
+    want = [(lab, s // hop, e // hop) for lab, s, e in truth]
+    assert [ev[0] for ev in events] == [w[0] for w in want]
+    for (lab, s, e, sc), (tl, ts, te) in zip(events, want):
+        lo, hi = max(s, ts), min(e, te)
+        assert hi - lo > 0.5 * (te - ts), (lab, (s, e), (ts, te))
