@@ -999,13 +999,16 @@ def main(argv=None):
     p = sub.add_parser("spot", help="keyword search in unsegmented WAVs")
     p.add_argument("--bank", required=True,
                    help="template bank of the KEYWORDS to spot")
-    p.add_argument("--threshold", type=float, default=30.0,
+    p.add_argument("--threshold", type=float, default=40.0,
                    help="span-normalised DTW score below which a match "
                         "is an event (same units as classify "
-                        "distances; on the synthetic spotting corpus "
-                        "every threshold in [25, 50] measures P=R=F1="
-                        "1.0 — calibrate per deployment with "
-                        "evaluate-spot on held-out streams)")
+                        "distances).  Default 40 measured P=R=F1=1.0 "
+                        "at EVERY noise level of the spotting matrix "
+                        "(scripts/spot_eval.py, docs/RESULTS.md: "
+                        "additive noise raises the score floor, so "
+                        "lower thresholds lose recall in noise while "
+                        ">=50 starts passing distractor fragments); "
+                        "calibrate per deployment with evaluate-spot")
     p.add_argument("--stream", action="store_true",
                    help="online SPRING decode (events confirmed "
                         "chunk-by-chunk) instead of the offline batch")
@@ -1019,7 +1022,7 @@ def main(argv=None):
                    help="dir with events.tsv + WAVs (make-corpus "
                         "--spotting)")
     p.add_argument("--bank", required=True)
-    p.add_argument("--threshold", type=float, default=30.0)
+    p.add_argument("--threshold", type=float, default=40.0)
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_spot)
 

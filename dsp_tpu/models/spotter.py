@@ -59,7 +59,7 @@ class KeywordSpotter:
     """Offline keyword search: recordings in, spotting events out."""
 
     def __init__(self, recognizer: KnnDtwRecognizer,
-                 threshold: float = 0.35):
+                 threshold: float = 40.0):
         self.rec = recognizer
         self.threshold = threshold
         # spotting consumes the WHOLE recording: no VAD trim
@@ -151,7 +151,7 @@ class StreamingSpotter:
     """
 
     def __init__(self, recognizer: KnnDtwRecognizer, chunk_len: int = 1600,
-                 threshold: float = 0.35, hangover: int = 25):
+                 threshold: float = 40.0, hangover: int = 25):
         self.rec = recognizer
         self.cfg = recognizer.cfg
         f = self.cfg.frontend

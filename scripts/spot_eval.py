@@ -1,0 +1,107 @@
+"""Keyword-spotting accuracy matrix (docs/RESULTS.md).
+
+Enrolls a keyword bank from the standard synthetic corpus, then sweeps
+detection thresholds over continuous keyword+distractor streams
+(io/dataset.py:synth_spotting_stream) at several additive-noise levels,
+reporting precision / recall / F1 per (threshold, noise) cell — the
+operating-curve table behind the `spot --threshold` default.  A spotted
+event is a true positive when its frame span covers >= 50% of a
+same-label planted keyword (one match per plant).  Accuracy is
+backend-independent; run anywhere:
+
+    JAX_PLATFORMS=cpu python scripts/spot_eval.py [--streams 20]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def score(events_per_stream, truths_per_stream, hop):
+    tp = fa = n_truth = 0
+    for evs, truth in zip(events_per_stream, truths_per_stream):
+        unmatched = [(lab, s // hop, e // hop) for lab, s, e in truth]
+        n_truth += len(unmatched)
+        for lab, s, e, _ in evs:
+            hit = None
+            for i, (tl, ts, te) in enumerate(unmatched):
+                ov = min(e, te) - max(s, ts) + 1
+                if tl == lab and ov >= 0.5 * (te - ts):
+                    hit = i
+                    break
+            if hit is None:
+                fa += 1
+            else:
+                tp += 1
+                unmatched.pop(hit)
+    prec = tp / max(tp + fa, 1)
+    rec = tp / max(n_truth, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    return prec, rec, f1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=20)
+    ap.add_argument("--words-per-stream", type=int, default=8)
+    ap.add_argument("--thresholds", default="20,25,30,40,50,60")
+    ap.add_argument("--noises", default="0.003,0.02,0.05")
+    args = ap.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from dsp_tpu.config import PipelineConfig
+    from dsp_tpu.io.dataset import DIGITS, synth_spotting_stream, synth_word
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    from dsp_tpu.models.spotter import KeywordSpotter
+
+    cfg = PipelineConfig()
+    keywords = DIGITS[:5]
+    distract = DIGITS[5:]
+    rec = KnnDtwRecognizer(cfg)
+    for lab in keywords:
+        rec.enroll(lab, [synth_word(lab, i) for i in range(3)])
+    spotter = KeywordSpotter(rec)
+
+    thresholds = [float(t) for t in args.thresholds.split(",")]
+    noises = [float(n) for n in args.noises.split(",")]
+    hop = cfg.frontend.hop_len
+
+    print(f"# spotting matrix: {args.streams} streams x "
+          f"{args.words_per_stream} words, {len(keywords)} keywords + "
+          f"{len(distract)} distractors, 3 templates/keyword")
+    print("| noise sigma | " + " | ".join(f"thr {t:g}" for t in thresholds)
+          + " |")
+    print("|---" * (len(thresholds) + 1) + "|")
+    for noise in noises:
+        sigs, truths = [], []
+        for i in range(args.streams):
+            sig, truth = synth_spotting_stream(
+                keywords, keywords + distract, seed=5000 + i,
+                n_words=args.words_per_stream, noise=noise)
+            sigs.append(sig)
+            truths.append(truth)
+        fields = spotter.scores(sigs)
+        cells = []
+        for thr in thresholds:
+            from dsp_tpu.ops.spot import extract_events
+            ids = np.asarray(rec.device_bank()[1])
+            evs = []
+            for norm, start in fields:
+                raw = extract_events(norm, start, thr, labels=ids)
+                evs.append([(rec.labels[l], s, e, sc)
+                            for l, s, e, sc in raw])
+            p, r, f1 = score(evs, truths, hop)
+            cells.append(f"P{p:.2f}/R{r:.2f}/F{f1:.2f}")
+        print(f"| {noise:g} | " + " | ".join(cells) + " |")
+
+
+if __name__ == "__main__":
+    main()
