@@ -495,8 +495,10 @@ def cmd_serve(args):
     level-building DP (gapless speech — ops/level_building.py;
     ``--grammar`` constrains these), or with ``nbest `` to get the top
     ``--nbest`` isolated-word hypotheses as label:distance:weight
-    triplets (rejection thresholds ride the weight).  EOF ends the
-    loop.
+    triplets (rejection thresholds ride the weight), or with ``spot ``
+    to keyword-search an unsegmented stream (events as
+    label:start_s:end_s:score cells, ``--spot-threshold``).  EOF ends
+    the loop.
     """
     import sys
     import time as _time
@@ -507,6 +509,7 @@ def cmd_serve(args):
     cfg = _pipeline_cfg(args)
     rec = KnnDtwRecognizer.load(args.bank, cfg)
     _apply_matcher_flags(rec, args)
+    spotter = None                 # built lazily on the first `spot ` line
     grammar = getattr(args, "grammar", None)
     if grammar:
         # validate once at startup (fail fast, not on the first
@@ -522,14 +525,24 @@ def cmd_serve(args):
         mode = "single"
         path = line
         for prefix, m in (("connected ", "vad"), ("level ", "level"),
-                          ("nbest ", "nbest")):
+                          ("nbest ", "nbest"), ("spot ", "spot")):
             if line.startswith(prefix):
                 mode, path = m, line[len(prefix):]
                 break
         t0 = _time.perf_counter()
         try:
             x = read_wav(path, cfg.frontend.sample_rate)[1]
-            if mode == "nbest":
+            if mode == "spot":
+                from dsp_tpu.models.spotter import KeywordSpotter
+                if spotter is None:
+                    spotter = KeywordSpotter(
+                        rec, threshold=args.spot_threshold)
+                fr = cfg.frontend
+                label = " ".join(
+                    f"{lab}:{s0 * fr.hop_len / fr.sample_rate:.2f}"
+                    f":{e0 * fr.hop_len / fr.sample_rate:.2f}:{sc:.2f}"
+                    for lab, s0, e0, sc in spotter.spot([x])[0]) or "-"
+            elif mode == "nbest":
                 label = " ".join(
                     f"{lab}:{d:.3f}:{w:.3f}" for lab, d, w in
                     rec.classify_nbest([x], n=args.nbest)[0])
@@ -1037,6 +1050,9 @@ def main(argv=None):
                         "requests (ops/grammar.py docstring format)")
     p.add_argument("--nbest", type=int, default=3,
                    help="hypothesis count for 'nbest <path>' lines")
+    p.add_argument("--spot-threshold", type=float, default=40.0,
+                   help="detection threshold for 'spot <path>' lines "
+                        "(see `spot --threshold`)")
     _add_common(p)
     p.set_defaults(fn=cmd_serve)
 

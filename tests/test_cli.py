@@ -218,14 +218,16 @@ def test_serve_loop(corpus_dir, tmp_path, capsys, monkeypatch):
               synth_connected(labels[:2], 4, gap_ms=(0.0, 1.0)))
     monkeypatch.setattr("sys.stdin", io.StringIO(
         f"{wav}\nconnected {conn_wav}\nlevel {gapless_wav}\n"
-        f"{tmp_path}/missing.wav\n"))
+        f"spot {conn_wav}\n{tmp_path}/missing.wav\n"))
     cli.main(["serve", "--bank", bank])
     lines = capsys.readouterr().out.strip().splitlines()
     assert lines[0] == "ready"
     assert lines[1].split("\t")[1] == lab_dir
     assert lines[2].split("\t")[1] == " ".join(labels[:2])
     assert lines[3].split("\t")[1] == " ".join(labels[:2])   # gapless
-    assert "ERROR" in lines[4]
+    spotted = [c.split(":")[0] for c in lines[4].split("\t")[1].split(" ")]
+    assert spotted == labels[:2]                              # spot mode
+    assert "ERROR" in lines[5]
 
 
 def test_serve_grammar_applies_to_level_lines(corpus_dir, tmp_path,
