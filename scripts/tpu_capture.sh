@@ -45,9 +45,13 @@ run bench_all 5400 python bench_all.py
 # 4. serving latency percentiles
 run serve_latency 3600 python scripts/serve_latency.py
 
-# 5. on-device test artifact (7 tests -> docs/TPU_TESTS.md refresh)
+# 5. on-device test artifact (9 tests -> docs/TPU_TESTS.md refresh)
 run device_tests 5400 env DSP_TPU_DEVICE_TESTS=1 \
     python -m pytest tests/test_tpu_device.py -v -s
+
+# 6. keyword-spotting accuracy matrix (backend-independent but cheap
+#    on the chip once warm; docs/RESULTS.md table)
+run spot_eval 1800 python scripts/spot_eval.py
 
 echo "== capture summary"
 for f in "$OUT"/*.rc; do echo "$(basename "$f" .rc): $(cat "$f")"; done
