@@ -401,15 +401,16 @@ def cmd_spot(args):
     rec = KnnDtwRecognizer.load(args.bank, cfg)
     sigs = [read_wav(p, cfg.frontend.sample_rate)[1] for p in args.wavs]
     if args.stream:
-        # online path: feed fixed chunks, emit events as confirmed
+        # online path: feed fixed chunks, emit events as confirmed;
+        # the final short chunk goes through flush(tail) so results
+        # match the offline spotter on the unpadded signal
         for path, sig in zip(args.wavs, sigs):
             ss = StreamingSpotter(rec, threshold=args.threshold)
-            pad = (-len(sig)) % ss.chunk_len
-            sig = np.concatenate([sig, np.zeros(pad, np.float32)])
+            n_full = len(sig) // ss.chunk_len * ss.chunk_len
             events = []
-            for lo in range(0, len(sig), ss.chunk_len):
+            for lo in range(0, n_full, ss.chunk_len):
                 events += ss.feed(sig[lo:lo + ss.chunk_len])
-            events += ss.flush()
+            events += ss.flush(sig[n_full:])
             _print_spot_events(path, events, rec.cfg)
         return
     spotter = KeywordSpotter(rec, threshold=args.threshold)

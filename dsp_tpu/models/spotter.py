@@ -14,7 +14,8 @@ Two surfaces:
 * :class:`KeywordSpotter` — offline batch: whole recordings in, event
   lists out.  The per-(recording x template) cost GEMMs batch on the
   MXU; recordings are grouped by quantised padded length (compile-shape
-  discipline shared with pipeline._decode_level_common) and sub-batched
+  discipline shared with pipeline.decode_level_generic via
+  pipeline.group_by_padded_len) and sub-batched
   so the [B, K, T, U] cost intermediate stays bounded.
 
 * :class:`StreamingSpotter` — online: raw audio chunks in, events out
@@ -79,15 +80,8 @@ class KeywordSpotter:
             return []
         bank, _ = self.rec.device_bank()
         k, u_t = bank.feats.shape[0], bank.feats.shape[1]
-        quantum = self.cfg.max_samples
         f = self.cfg.frontend
-        order = np.argsort([len(np.asarray(s)) for s in signals],
-                           kind="stable")
-        groups: dict = {}
-        for i in order:
-            n_len = max(1, len(np.asarray(signals[i])))
-            pad_len = quantum * -(-n_len // quantum)
-            groups.setdefault(pad_len, []).append(i)
+        groups = pl.group_by_padded_len(signals, self.cfg.max_samples)
         results: dict = {}
         mesh = self.rec.mesh
         for pad_len, idxs in groups.items():
@@ -182,8 +176,10 @@ class StreamingSpotter:
         self._frames: list[np.ndarray] = []   # raw 13-dim MFCC history
         self._offset = 0                      # global index of _frames[0]
         self._fed = 0                         # global frames fed to DP
-        self._pending = None                  # (label, s, e, score)
+        self._pending = None                  # (row, s, e, score)
         self._last_improve = -1
+        self._emitted_end = -1                # last confirmed event's end
+        self._samples = 0                     # true stream samples fed
 
     # ------------------------------------------------------------ internals
     def _final_feats(self, upto: int, final: bool) -> np.ndarray:
@@ -234,7 +230,12 @@ class StreamingSpotter:
             sc = float(norm[r, col])
             if sc < self.threshold:
                 s = int(start[r, col])
-                if self._pending is None:
+                if s <= self._emitted_end:
+                    # trailing columns of an ALREADY-emitted occurrence
+                    # stay sub-threshold for a while — never re-open it
+                    # (mirrors extract_events' overlap suppression)
+                    pass
+                elif self._pending is None:
                     self._pending = (r, s, j, sc)
                     self._last_improve = j
                 elif s > self._pending[2]:
@@ -254,6 +255,7 @@ class StreamingSpotter:
     def _emit(self):
         r, s, e, sc = self._pending
         self._pending = None
+        self._emitted_end = e
         return (self.rec.labels[int(self._ids[r])], s, e, sc)
 
     def _trim_history(self) -> None:
@@ -263,16 +265,28 @@ class StreamingSpotter:
             del self._frames[:keep_from]
             self._offset += keep_from
 
+    def _ingest(self, chunk: np.ndarray):
+        """Run the causal front-end on one FULL chunk; append only the
+        frames whose analysis window lies entirely inside the true
+        sample count (a no-op mid-stream — the front-end only emits
+        complete frames — but on the zero-padded flush tail it drops
+        exactly the frames the offline spotter never computes)."""
+        f = self.cfg.frontend
+        self.state, out = st.process_chunk(
+            self.state, jnp.asarray(chunk, dtype=jnp.float32), self.mats,
+            self.cfg.frontend, self.cfg.vad, self.chunk_len)
+        mfcc = np.asarray(out.mfcc)[np.asarray(out.frame_valid)]
+        base_k = self._offset + len(self._frames)
+        keep = [i for i in range(len(mfcc))
+                if (base_k + i) * f.hop_len + f.frame_len <= self._samples]
+        self._frames.extend(mfcc[keep])
+
     # ------------------------------------------------------------ public
     def feed(self, chunk: np.ndarray):
         """One audio chunk -> list of confirmed spotting events."""
         assert len(chunk) == self.chunk_len
-        self.state, out = st.process_chunk(
-            self.state, jnp.asarray(chunk, dtype=jnp.float32), self.mats,
-            self.cfg.frontend, self.cfg.vad, self.chunk_len)
-        mfcc = np.asarray(out.mfcc)
-        valid = np.asarray(out.frame_valid)
-        self._frames.extend(mfcc[valid])
+        self._samples += self.chunk_len
+        self._ingest(chunk)
         n_total = self._offset + len(self._frames)
         rows = self._final_feats(max(self._fed, n_total - self._lag),
                                  final=False)
@@ -280,8 +294,18 @@ class StreamingSpotter:
         self._trim_history()
         return events
 
-    def flush(self):
-        """End of stream: feed the lagged tail, emit any pending match."""
+    def flush(self, tail: np.ndarray | None = None):
+        """End of stream: process an optional final SHORT chunk
+        (< chunk_len samples — padded internally; frames reaching into
+        the padding are dropped, so spans/scores match the offline
+        spotter on the unpadded signal), feed the lagged DP tail, emit
+        any pending match."""
+        if tail is not None and len(tail):
+            assert len(tail) < self.chunk_len
+            self._samples += len(tail)
+            buf = np.zeros(self.chunk_len, np.float32)
+            buf[: len(tail)] = tail
+            self._ingest(buf)
         n_total = self._offset + len(self._frames)
         rows = self._final_feats(n_total, final=True)
         events = self._feed_dp(rows) if len(rows) else []

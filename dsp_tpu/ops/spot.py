@@ -24,7 +24,12 @@ TPU mapping (same split as ops/dtw.py):
   tie-breaks mirror golden/spot.py (diagonal, vertical, horizontal;
   fresh start wins row-0 ties); like any parallel argmin they are only
   deterministic when scores are tie-free, which holds for continuous
-  features.
+  features.  The streaming column order below resolves exact ties as
+  diagonal > horizontal > vertical instead (the horizontal predecessor
+  is fused into the pre-scan min there), so on EXACT float ties the
+  two orders can return different witnesses — and therefore different
+  span-normalised scores — for the same audio; values are identical
+  either way.
 
 * **Streaming** (`spot_chunk`) — the SPRING column update: one new
   stream frame advances a [K, T] state (per-template DP column + start
@@ -182,12 +187,10 @@ def spot_chunk(state: SpotState, chunk: jax.Array, n_valid: jax.Array,
     chunking of the same stream.
     """
     k, t, f = bank.shape
-    # cost columns for the whole chunk in one GEMM: [K, T, C]
-    sq = jnp.einsum("ktf,cf->ktc", bank, chunk,
-                    precision=precision)
-    sq = (jnp.sum(bank * bank, axis=-1)[..., None]
-          + jnp.sum(chunk * chunk, axis=-1)[None, None, :] - 2.0 * sq)
-    cost = jnp.maximum(sq, 0.0)
+    # cost columns for the whole chunk in one batched GEMM: [K, T, C] —
+    # the SAME clamped squared-Euclidean as the offline path (shared
+    # ops/dtw.py:pairwise_sq_cost, so the two can never drift)
+    cost = jax.vmap(lambda tm: pairwise_sq_cost(tm, chunk, precision))(bank)
     if not squared:
         cost = jnp.sqrt(cost)
     iota_t = jnp.arange(t)[None, :]                      # [1, T]
@@ -200,7 +203,9 @@ def spot_chunk(state: SpotState, chunk: jax.Array, n_valid: jax.Array,
                               d_col[:, :-1]], axis=1)    # D[i-1, j-1]
         up_s = jnp.concatenate([
             jnp.full((k, 1), j, jnp.int32), s_col[:, :-1]], axis=1)
-        m = jnp.minimum(up, d_col)                       # diag pref vert
+        # d_col here is the HORIZONTAL predecessor D[i, j-1]; ties
+        # resolve diag > horiz (> vert via the scan) — see module doc
+        m = jnp.minimum(up, d_col)
         sm = jnp.where(up <= d_col, up_s, s_col)
         a = m + c_col
         # vertical continuation D[i-1, j] -> min-plus scan along T

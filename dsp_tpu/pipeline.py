@@ -375,6 +375,23 @@ def recognize_connected_batch(signals: jax.Array, n_samples: jax.Array,
     return jnp.where(live, label_ids, -1), n_segs, starts, ends
 
 
+def group_by_padded_len(signals, quantum: int) -> dict:
+    """Group signal indices by quantised padded length.
+
+    Recordings grouped by ``ceil(len / quantum) * quantum`` so compile
+    shapes stay quantised; within a group one jit call serves all
+    members.  Stable order.  Shared by the level-decode driver and the
+    keyword spotter.
+    """
+    order = np.argsort([len(np.asarray(s)) for s in signals], kind="stable")
+    groups: dict = {}
+    for i in order:
+        n_len = max(1, len(np.asarray(signals[i])))
+        pad_len = quantum * -(-n_len // quantum)
+        groups.setdefault(pad_len, []).append(i)
+    return groups
+
+
 def segments_flat(signals, mats: fe.FrontendMatrices,
                   cfg: PipelineConfig = PipelineConfig(),
                   max_segments: int = 8,
@@ -608,14 +625,7 @@ def decode_level_generic(signals, mats: fe.FrontendMatrices,
     f = cfg.frontend
     ids_np = np.asarray(word_ids)
     out_ids, out_costs = [], []
-    # recordings grouped by padded length so compile shapes stay
-    # quantised; within a group, one jit call end-to-end
-    order = np.argsort([len(np.asarray(s)) for s in signals], kind="stable")
-    groups: dict = {}
-    for i in order:
-        n_len = max(1, len(np.asarray(signals[i])))
-        pad_len = quantum * -(-n_len // quantum)
-        groups.setdefault(pad_len, []).append(i)
+    groups = group_by_padded_len(signals, quantum)
     results: dict = {}
     for pad_len, idxs in groups.items():
         t_max = max(1, 1 + (pad_len - f.frame_len) // f.hop_len)

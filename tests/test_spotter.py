@@ -132,12 +132,11 @@ def test_streaming_matches_offline(rec):
     offline, = spotter.spot([sig], threshold=thr)
 
     ss = StreamingSpotter(rec, chunk_len=1600, threshold=thr)
-    pad = (-len(sig)) % 1600
-    padded = np.concatenate([sig, np.zeros(pad, np.float32)])
+    n_full = len(sig) // 1600 * 1600
     events = []
-    for lo in range(0, len(padded), 1600):
-        events += ss.feed(padded[lo:lo + 1600])
-    events += ss.flush()
+    for lo in range(0, n_full, 1600):
+        events += ss.feed(sig[lo:lo + 1600])
+    events += ss.flush(sig[n_full:])
 
     assert [e[0] for e in events] == [e[0] for e in offline]
     for (l1, s1, e1, c1), (l2, s2, e2, c2) in zip(events, offline):
@@ -150,16 +149,15 @@ def test_streaming_chunk_size_invariance(rec):
     outs = []
     for cl in (800, 1600):
         ss = StreamingSpotter(rec, chunk_len=cl, threshold=0.5)
-        pad = (-len(sig)) % cl
-        padded = np.concatenate([sig, np.zeros(pad, np.float32)])
+        n_full = len(sig) // cl * cl
         events = []
-        for lo in range(0, len(padded), cl):
-            events += ss.feed(padded[lo:lo + cl])
-        events += ss.flush()
+        for lo in range(0, n_full, cl):
+            events += ss.feed(sig[lo:lo + cl])
+        events += ss.flush(sig[n_full:])
         outs.append(events)
-    # same hits regardless of chunking (trailing-pad frames differ only
-    # past the last hit)
-    assert [e[:3] for e in outs[0]] == [e[:3] for e in outs[1]]
+    # identical events regardless of chunking (flush(tail) drops the
+    # fabricated pad frames, so the streams are sample-identical)
+    assert outs[0] == outs[1]
 
 
 def test_mesh_spotting_matches_single_device(rec):
@@ -184,3 +182,20 @@ def test_mesh_spotting_matches_single_device(rec):
     (n2, s2), = msp.scores([sig1])
     np.testing.assert_array_equal(n1, n2)
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_streaming_no_duplicate_emission(rec):
+    """A single keyword followed by a long in-vocabulary-free stretch:
+    the trailing sub-threshold columns of the SAME occurrence must not
+    re-open a pending after the hangover emission (one event, exactly —
+    the code-review regression)."""
+    sig, spans = _build_stream(["zero", "three", "four", "five",
+                                "three", "four"], seed=13)
+    ss = StreamingSpotter(rec, chunk_len=1600, threshold=30.0,
+                          hangover=10)
+    n_full = len(sig) // 1600 * 1600
+    events = []
+    for lo in range(0, n_full, 1600):
+        events += ss.feed(sig[lo:lo + 1600])
+    events += ss.flush(sig[n_full:])
+    assert [e[0] for e in events] == ["zero"], events
