@@ -59,7 +59,7 @@ def main():
         ("banded sqrt", DtwConfig(band_frac=0.15, squared=False)),
         ("unbanded sq", DtwConfig(band_frac=None, squared=True)),
     ]
-    for qt in (64, 128, 256):
+    for qt in (64, 128, 256, 384, 512):
         if args.qt and qt != args.qt:
             continue
         for name, cfg in variants:
