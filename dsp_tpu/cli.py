@@ -392,20 +392,41 @@ def cmd_evaluate_connected(args):
         m.dump(args.metrics_out)
 
 
+def _load_spotter(args, cfg):
+    """--bank -> DTW KeywordSpotter; --hmm -> HmmSpotter (UBM filler)."""
+    if bool(args.bank) == bool(getattr(args, "hmm", None)):
+        raise SystemExit("spot: give exactly one of --bank / --hmm")
+    if getattr(args, "hmm", None):
+        from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+        from dsp_tpu.models.spotter import HmmSpotter
+        rec = GmmHmmRecognizer.load(args.hmm, cfg)
+        thr = args.threshold if args.threshold is not None else 0.0
+        return HmmSpotter(rec, threshold=thr), rec
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    from dsp_tpu.models.spotter import KeywordSpotter
+    rec = KnnDtwRecognizer.load(args.bank, cfg)
+    thr = args.threshold if args.threshold is not None else 40.0
+    return KeywordSpotter(rec, threshold=thr), rec
+
+
 def cmd_spot(args):
     """Keyword search in unsegmented WAVs (models/spotter.py)."""
     from dsp_tpu.io.wav import read_wav
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
-    from dsp_tpu.models.spotter import KeywordSpotter, StreamingSpotter
+    from dsp_tpu.models.spotter import StreamingSpotter
     cfg = _pipeline_cfg(args)
-    rec = KnnDtwRecognizer.load(args.bank, cfg)
     sigs = [read_wav(p, cfg.frontend.sample_rate)[1] for p in args.wavs]
     if args.stream:
+        if getattr(args, "hmm", None):
+            raise SystemExit("spot --stream is the DTW (SPRING) online "
+                             "path; the HMM spotter is offline-only")
+        rec = KnnDtwRecognizer.load(args.bank, cfg)
         # online path: feed fixed chunks, emit events as confirmed;
         # the final short chunk goes through flush(tail) so results
         # match the offline spotter on the unpadded signal
+        thr = args.threshold if args.threshold is not None else 40.0
         for path, sig in zip(args.wavs, sigs):
-            ss = StreamingSpotter(rec, threshold=args.threshold)
+            ss = StreamingSpotter(rec, threshold=thr)
             n_full = len(sig) // ss.chunk_len * ss.chunk_len
             events = []
             for lo in range(0, n_full, ss.chunk_len):
@@ -413,7 +434,7 @@ def cmd_spot(args):
             events += ss.flush(sig[n_full:])
             _print_spot_events(path, events, rec.cfg)
         return
-    spotter = KeywordSpotter(rec, threshold=args.threshold)
+    spotter, _ = _load_spotter(args, cfg)
     for path, events in zip(args.wavs, spotter.spot(sigs)):
         _print_spot_events(path, events, cfg)
 
@@ -429,14 +450,12 @@ def _print_spot_events(path, events, cfg):
 
 def cmd_evaluate_spot(args):
     """Precision/recall/F1 of keyword spotting on a spotting corpus
-    (make-corpus --spotting).  A spotted event is a TRUE POSITIVE when
-    its frame span covers >= 50% of a same-label ground-truth span (one
-    match per truth event); everything else it emits is a false alarm."""
+    (make-corpus --spotting).  One match per ground-truth event;
+    everything else a spotter emits is a false alarm (hit rules per
+    family — see the inline comment)."""
     from dsp_tpu.io.wav import read_wav
-    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
-    from dsp_tpu.models.spotter import KeywordSpotter
     cfg = _pipeline_cfg(args)
-    rec = KnnDtwRecognizer.load(args.bank, cfg)
+    spotter, rec = _load_spotter(args, cfg)
     hop = cfg.frontend.hop_len
     names, sigs, truths = [], [], []
     with open(os.path.join(args.corpus, "events.tsv")) as f:
@@ -452,8 +471,12 @@ def cmd_evaluate_spot(args):
                 lab, s, e = cell.rsplit(":", 2)
                 evs.append((lab, int(s) // hop, int(e) // hop))
             truths.append(evs)
-    spotter = KeywordSpotter(rec, threshold=args.threshold)
     got = spotter.spot(sigs)
+    # hit rule: 50%-span-overlap for the DTW spotter (tight spans);
+    # span-midpoint-inside-truth for the HMM spotter (its LLR peaks on
+    # a word's high-contrast CORE — landmark spans, the standard KWS
+    # midpoint criterion)
+    midpoint = bool(getattr(args, "hmm", None))
     tp = fa = 0
     n_truth = sum(len(t) for t in truths)
     for evs, truth in zip(got, truths):
@@ -461,8 +484,12 @@ def cmd_evaluate_spot(args):
         for lab, s, e, _ in evs:
             best = None
             for i, (tl, ts, te) in enumerate(unmatched):
-                ov = min(e, te) - max(s, ts) + 1
-                if tl == lab and ov >= 0.5 * (te - ts):
+                if midpoint:
+                    good = ts <= (s + e) / 2.0 <= te
+                else:
+                    ov = min(e, te) - max(s, ts) + 1
+                    good = ov >= 0.5 * (te - ts)
+                if tl == lab and good:
                     best = i
                     break
             if best is None:
@@ -475,12 +502,12 @@ def cmd_evaluate_spot(args):
     f1 = 2 * prec * rec_ / max(prec + rec_, 1e-9)
     print(f"precision: {prec:.4f} ({tp}/{tp + fa} events)")
     print(f"recall: {rec_:.4f} ({tp}/{n_truth} keywords)")
-    print(f"f1: {f1:.4f}  threshold: {args.threshold}")
+    print(f"f1: {f1:.4f}  threshold: {spotter.threshold}")
     if args.metrics_out:
         m = RunMetrics("evaluate-spot")
         m.record(precision=prec, recall=rec_, f1=f1, tp=tp,
                  false_alarms=fa, n_truth=n_truth,
-                 threshold=args.threshold, config=cfg)
+                 threshold=spotter.threshold, config=cfg)
         m.dump(args.metrics_out)
 
 
@@ -1011,9 +1038,14 @@ def main(argv=None):
     p.set_defaults(fn=cmd_evaluate_connected)
 
     p = sub.add_parser("spot", help="keyword search in unsegmented WAVs")
-    p.add_argument("--bank", required=True,
-                   help="template bank of the KEYWORDS to spot")
-    p.add_argument("--threshold", type=float, default=40.0,
+    p.add_argument("--bank",
+                   help="template bank of the KEYWORDS to spot "
+                        "(subsequence-DTW spotter)")
+    p.add_argument("--hmm",
+                   help="GMM-HMM checkpoint: open-endpoint Viterbi vs "
+                        "the stored UBM filler (per-frame LLR scores, "
+                        "default threshold 0; offline only)")
+    p.add_argument("--threshold", type=float, default=None,
                    help="span-normalised DTW score below which a match "
                         "is an event (same units as classify "
                         "distances).  Default 40 measured P=R=F1=1.0 "
@@ -1035,8 +1067,9 @@ def main(argv=None):
     p.add_argument("--corpus", required=True,
                    help="dir with events.tsv + WAVs (make-corpus "
                         "--spotting)")
-    p.add_argument("--bank", required=True)
-    p.add_argument("--threshold", type=float, default=40.0)
+    p.add_argument("--bank", help="DTW spotter (50%%-overlap hit rule)")
+    p.add_argument("--hmm", help="HMM spotter (midpoint hit rule)")
+    p.add_argument("--threshold", type=float, default=None)
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_spot)
 

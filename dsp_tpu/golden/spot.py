@@ -91,7 +91,7 @@ def subseq_dtw(a: np.ndarray, b: np.ndarray, squared: bool = False):
 
 
 def spot_events(norm: np.ndarray, start: np.ndarray, threshold: float,
-                labels: np.ndarray | None = None):
+                labels: np.ndarray | None = None, min_gap: int = 0):
     """Greedy best-first event extraction over per-column match scores.
 
     norm [K, Tb] (or [Tb]), start likewise.  Picks the globally best
@@ -113,9 +113,10 @@ def spot_events(norm: np.ndarray, start: np.ndarray, threshold: float,
         s, e = int(start[r, j]), int(j)
         lbl = int(labels[r]) if labels is not None else r
         events.append((lbl, s, e, float(score)))
-        # suppress every candidate whose span [start, end] overlaps [s, e]
+        # suppress every candidate whose span [start, end] overlaps
+        # [s - min_gap, e + min_gap]
         cols = np.arange(tb)[None, :]
-        overlap = (start <= e) & (cols >= s)
+        overlap = (start <= e + min_gap) & (cols >= s - min_gap)
         norm[overlap] = BIG
     events.sort(key=lambda ev: ev[1])
     return events

@@ -482,6 +482,10 @@ class GmmHmmRecognizer:
         self.mats = fe.make_matrices(cfg.frontend)
         self.labels: list[str] = []
         self.params: HmmParams | None = None   # stacked [W, ...]
+        self.ubm = None   # (means [M,F], log_var, log_mix) — universal
+        #   background GMM over all training frames; the MAP prior when
+        #   train_mode uses one, and the FILLER model for HMM keyword
+        #   spotting (models/spotter.py:HmmSpotter)
         # automatic noise-mismatch compensation (ops/noise_adapt.py):
         # estimate the test batch's noise floor from VAD-rejected frames
         # and log-add-PMC the Gaussian means before scoring — the
@@ -526,14 +530,14 @@ class GmmHmmRecognizer:
             lens_w[i, :n] = np.asarray(fw.length)
         seeds = np.asarray([self.hmm.seed + i for i in range(w)], np.int32)
         fj, lj, sj = jnp.asarray(feats_w), jnp.asarray(lens_w), jnp.asarray(seeds)
-        prior = None
-        if self.hmm.map_tau > 0:
-            # universal background GMM over every word's frames, tiled
-            # over states as the MAP prior (few-shot regularisation)
-            ubm = fit_ubm(fj.reshape(w * n_max, t, f_dim),
-                          lj.reshape(w * n_max), self.hmm,
-                          jax.random.PRNGKey(self.hmm.seed))
-            prior = ubm_prior(ubm, self.hmm)
+        # universal background GMM over every word's frames: the MAP
+        # prior (when map_tau > 0) and the spotting filler model either
+        # way — one extra jitted EM, always stored
+        self.ubm = fit_ubm(fj.reshape(w * n_max, t, f_dim),
+                           lj.reshape(w * n_max), self.hmm,
+                           jax.random.PRNGKey(self.hmm.seed))
+        prior = ubm_prior(self.ubm, self.hmm) if self.hmm.map_tau > 0 \
+            else None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -729,10 +733,14 @@ class GmmHmmRecognizer:
         if self.params is None:
             raise ValueError("model not fitted")
         from dsp_tpu.models.knn_dtw import frontend_signature
+        extra = {}
+        if self.ubm is not None:
+            extra = {f"ubm_{n}": np.asarray(a) for n, a in
+                     zip(("means", "log_var", "log_mix"), self.ubm)}
         np.savez(path, labels=json.dumps(self.labels),
                  frontend=json.dumps(frontend_signature(self.cfg)),
                  **{f: np.asarray(getattr(self.params, f))
-                    for f in HmmParams._fields})
+                    for f in HmmParams._fields}, **extra)
 
     @classmethod
     def load(cls, path: str, cfg: PipelineConfig = PipelineConfig(),
@@ -743,4 +751,7 @@ class GmmHmmRecognizer:
         rec = cls(cfg, hmm)
         rec.labels = json.loads(str(data["labels"]))
         rec.params = HmmParams(*(jnp.asarray(data[f]) for f in HmmParams._fields))
+        if "ubm_means" in data:
+            rec.ubm = tuple(jnp.asarray(data[f"ubm_{n}"])
+                            for n in ("means", "log_var", "log_mix"))
         return rec

@@ -312,3 +312,72 @@ class StreamingSpotter:
         if self._pending is not None:
             events.append(self._emit())
         return events
+
+
+class HmmSpotter:
+    """HMM keyword spotting: open-endpoint Viterbi vs the UBM filler.
+
+    The GMM-HMM family's spotter (ops/spot_hmm.py — the classical
+    keyword/filler network): each trained word HMM may enter at any
+    stream frame and exit at any later frame; spans score by the
+    per-frame Viterbi log-likelihood RATIO against the recognizer's
+    universal background GMM, so a fitted `GmmHmmRecognizer` (which
+    always stores its UBM) spots keywords with no extra training.
+
+    ``threshold`` is the per-frame LLR floor: > 0 means the word HMM
+    explains the span better than the background model.  Offline batch
+    only (the DTW :class:`StreamingSpotter` is the online surface).
+    """
+
+    def __init__(self, recognizer, threshold: float = 0.0,
+                 min_gap: int = 25):
+        if recognizer.params is None:
+            raise ValueError("recognizer not fitted")
+        if getattr(recognizer, "ubm", None) is None:
+            raise ValueError(
+                "recognizer has no UBM filler model — fit() stores one "
+                "(batched mode, the default); re-fit or load a "
+                "checkpoint saved after round 4")
+        self.rec = recognizer
+        self.threshold = threshold
+        self.min_gap = min_gap    # landmark suppression margin (frames)
+        self.cfg = dataclasses.replace(recognizer.cfg, use_vad=False)
+        self.mats = recognizer.mats
+
+    def scores(self, signals):
+        """Per-recording (llr [W, T_i], start [W, T_i]) numpy fields."""
+        from dsp_tpu.ops.spot_hmm import spot_hmm_batch
+
+        if not len(signals):
+            return []
+        f = self.cfg.frontend
+        groups = pl.group_by_padded_len(signals, self.cfg.max_samples)
+        results: dict = {}
+        for pad_len, idxs in groups.items():
+            t_max = max(1, 1 + (pad_len - f.frame_len) // f.hop_len)
+            x, n = pl.pad_signals([signals[i] for i in idxs], pad_len)
+            feats = pl.extract_recording_features(
+                jnp.asarray(x), jnp.asarray(n), self.mats, self.cfg, t_max)
+            llr, start = spot_hmm_batch(feats.feats, feats.length,
+                                        self.rec.params, self.rec.ubm)
+            llr, start = np.asarray(llr), np.asarray(start)
+            lens = np.asarray(feats.length)
+            for row, i in enumerate(idxs):
+                t_i = int(lens[row])
+                results[i] = (llr[row, :, :t_i], start[row, :, :t_i])
+        return [results[i] for i in range(len(signals))]
+
+    def spot(self, signals, threshold: float | None = None):
+        """Recordings -> [(label, start_frame, end_frame, llr)] lists."""
+        thr = self.threshold if threshold is None else threshold
+        out = []
+        for llr, start in self.scores(signals):
+            # extract_events minimises; negate the LLR field.  min_gap
+            # widens suppression: the LLR peaks on a word's CORE, so a
+            # second landmark inside the same occurrence may not
+            # literally overlap the first
+            evs = sp.extract_events(-llr, start, -thr,
+                                    min_gap=self.min_gap)
+            out.append([(self.rec.labels[r], s, e, -neg)
+                        for r, s, e, neg in evs])
+        return out

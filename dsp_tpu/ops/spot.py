@@ -234,13 +234,17 @@ def spot_chunk(state: SpotState, chunk: jax.Array, n_valid: jax.Array,
 # ------------------------------------------------------------- host events
 
 def extract_events(norm: np.ndarray, start: np.ndarray, threshold: float,
-                   labels: np.ndarray | None = None):
+                   labels: np.ndarray | None = None, min_gap: int = 0):
     """Greedy best-first spotting events from per-column scores.
 
     norm/start [K, U] (numpy, fetched).  Emits the globally best column
     under threshold, suppresses all columns whose span overlaps it
-    (across all templates), repeats.  Returns [(label, start, end,
-    score)] sorted by start.  Mirrors golden/spot.py:spot_events.
+    (across all templates), repeats.  ``min_gap`` widens the suppressed
+    region by that many frames on both sides — the classical remedy for
+    LANDMARK-style scorers (the HMM LLR peaks on a word's high-contrast
+    core, so two peaks inside one occurrence may not literally overlap).
+    Returns [(label, start, end, score)] sorted by start.  Mirrors
+    golden/spot.py:spot_events.
     """
     norm = np.atleast_2d(np.asarray(norm, dtype=np.float64)).copy()
     start = np.atleast_2d(np.asarray(start, dtype=np.int64))
@@ -256,6 +260,6 @@ def extract_events(norm: np.ndarray, start: np.ndarray, threshold: float,
         s, e = int(start[r, j]), int(j)
         lbl = int(labels[r]) if labels is not None else r
         events.append((lbl, s, e, float(score)))
-        norm[(start <= e) & (cols >= s)] = BIG
+        norm[(start <= e + min_gap) & (cols >= s - min_gap)] = BIG
     events.sort(key=lambda ev: ev[1])
     return events

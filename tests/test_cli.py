@@ -377,3 +377,29 @@ def test_spot_and_evaluate_spot(tmp_path, capsys):
     cli.main(["spot", "--bank", bank, "--threshold", "30", wav])
     out = capsys.readouterr().out
     assert wav in out
+
+
+def test_spot_hmm_family(tmp_path, capsys):
+    """train-hmm -> evaluate-spot --hmm: the HMM spotter (open-endpoint
+    Viterbi vs the checkpoint's stored UBM filler) finds keywords with
+    the midpoint hit rule."""
+    d = str(tmp_path / "c")
+    cli.main(["make-corpus", "--out", d, "--n", "3", "--words", "3",
+              "--spotting", "2"])
+    model = str(tmp_path / "hmm.npz")
+    cli.main(["train-hmm", "--corpus", os.path.join(d, "train"),
+              "--model", model])
+    capsys.readouterr()
+    spotting = os.path.join(d, "spotting")
+    cli.main(["evaluate-spot", "--corpus", spotting, "--hmm", model,
+              "--threshold", "-60"])
+    out = capsys.readouterr().out
+    rec = float(out.rsplit("recall:", 1)[1].split()[1].strip("(").split("/")[0])
+    f1 = float(out.rsplit("f1:", 1)[1].split()[0])
+    assert f1 > 0.5, out
+    wav = os.path.join(
+        spotting, sorted(p for p in os.listdir(spotting)
+                         if p.endswith(".wav"))[0])
+    cli.main(["spot", "--hmm", model, "--threshold", "-60", wav])
+    out = capsys.readouterr().out
+    assert wav in out
