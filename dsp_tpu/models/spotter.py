@@ -344,12 +344,39 @@ class HmmSpotter:
         self.cfg = dataclasses.replace(recognizer.cfg, use_vad=False)
         self.mats = recognizer.mats
 
+    def _models_for(self, signals):
+        """(params, ubm), PMC-adapted to the streams' estimated noise
+        floor when the recognizer has ``noise_adapt`` on — the word
+        HMMs AND the filler shift identically, keeping the LLR fair
+        (the same automatic remedy the connected decoder uses)."""
+        rec = self.rec
+        if not getattr(rec, "noise_adapt", False):
+            return rec.params, rec.ubm
+        from dsp_tpu.ops.noise_adapt import (estimate_noise_cepstrum,
+                                             pmc_adapt_means,
+                                             pmc_supported)
+        reason = pmc_supported(self.cfg.frontend)
+        if reason:
+            raise ValueError(f"noise_adapt unavailable: {reason}")
+        quantum = self.cfg.max_samples
+        n_len = max(1, max(len(np.asarray(s)) for s in signals))
+        x, n = pl.pad_signals(signals, quantum * -(-n_len // quantum))
+        noise_c, _ = estimate_noise_cepstrum(
+            x, n, self.mats, self.cfg.frontend, self.rec.cfg.vad)
+        means = pmc_adapt_means(rec.params.means, noise_c, self.mats,
+                                self.cfg.frontend)
+        u_means, u_lv, u_lm = rec.ubm
+        u_means = pmc_adapt_means(u_means, noise_c, self.mats,
+                                  self.cfg.frontend)
+        return (rec.params._replace(means=means), (u_means, u_lv, u_lm))
+
     def scores(self, signals):
         """Per-recording (llr [W, T_i], start [W, T_i]) numpy fields."""
         from dsp_tpu.ops.spot_hmm import spot_hmm_batch
 
         if not len(signals):
             return []
+        params, ubm = self._models_for(signals)
         f = self.cfg.frontend
         groups = pl.group_by_padded_len(signals, self.cfg.max_samples)
         results: dict = {}
@@ -359,7 +386,7 @@ class HmmSpotter:
             feats = pl.extract_recording_features(
                 jnp.asarray(x), jnp.asarray(n), self.mats, self.cfg, t_max)
             llr, start = spot_hmm_batch(feats.feats, feats.length,
-                                        self.rec.params, self.rec.ubm)
+                                        params, ubm)
             llr, start = np.asarray(llr), np.asarray(start)
             lens = np.asarray(feats.length)
             for row, i in enumerate(idxs):

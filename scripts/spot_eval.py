@@ -6,10 +6,14 @@ detection thresholds over continuous keyword+distractor streams
 reporting precision / recall / F1 per (threshold, noise) cell — the
 operating-curve table behind the `spot --threshold` default.  A spotted
 event is a true positive when its frame span covers >= 50% of a
-same-label planted keyword (one match per plant).  Accuracy is
-backend-independent; run anywhere:
+same-label planted keyword (one match per plant); with --family hmm
+the hit rule is the standard KWS span-midpoint-inside-truth (the HMM
+LLR peaks on a word's high-contrast core — landmark spans).  Accuracy
+is backend-independent; run anywhere:
 
     JAX_PLATFORMS=cpu python scripts/spot_eval.py [--streams 20]
+    JAX_PLATFORMS=cpu python scripts/spot_eval.py --family hmm \
+        --thresholds=-60,-45,-30,-15,0
 """
 
 import argparse
@@ -21,7 +25,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def score(events_per_stream, truths_per_stream, hop):
+def score(events_per_stream, truths_per_stream, hop, midpoint=False):
     tp = fa = n_truth = 0
     for evs, truth in zip(events_per_stream, truths_per_stream):
         unmatched = [(lab, s // hop, e // hop) for lab, s, e in truth]
@@ -29,8 +33,12 @@ def score(events_per_stream, truths_per_stream, hop):
         for lab, s, e, _ in evs:
             hit = None
             for i, (tl, ts, te) in enumerate(unmatched):
-                ov = min(e, te) - max(s, ts) + 1
-                if tl == lab and ov >= 0.5 * (te - ts):
+                if midpoint:
+                    good = ts <= (s + e) / 2.0 <= te
+                else:
+                    ov = min(e, te) - max(s, ts) + 1
+                    good = ov >= 0.5 * (te - ts)
+                if tl == lab and good:
                     hit = i
                     break
             if hit is None:
@@ -50,6 +58,11 @@ def main():
     ap.add_argument("--words-per-stream", type=int, default=8)
     ap.add_argument("--thresholds", default="20,25,30,40,50,60")
     ap.add_argument("--noises", default="0.003,0.02,0.05")
+    ap.add_argument("--family", choices=["dtw", "hmm"], default="dtw")
+    ap.add_argument("--noise-adapt", action="store_true",
+                    help="hmm family: PMC-adapt the word HMMs AND the "
+                         "UBM filler to each batch's estimated noise "
+                         "floor (models/spotter.py:HmmSpotter)")
     args = ap.parse_args()
 
     import jax
@@ -65,15 +78,32 @@ def main():
     cfg = PipelineConfig()
     keywords = DIGITS[:5]
     distract = DIGITS[5:]
-    rec = KnnDtwRecognizer(cfg)
-    for lab in keywords:
-        rec.enroll(lab, [synth_word(lab, i) for i in range(3)])
-    spotter = KeywordSpotter(rec)
+    if args.family == "hmm":
+        from dsp_tpu.config import HmmConfig
+        from dsp_tpu.io.dataset import make_corpus
+        from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+        from dsp_tpu.models.spotter import HmmSpotter
+        hrec = GmmHmmRecognizer(cfg, HmmConfig(n_states=4, n_mix=2,
+                                               n_iter=4))
+        hrec.fit(make_corpus(keywords, n_per_word=5, seed=0))
+        hrec.noise_adapt = args.noise_adapt
+        spotter = HmmSpotter(hrec)
+        rec = hrec
+        higher_better = True
+    else:
+        rec = KnnDtwRecognizer(cfg)
+        for lab in keywords:
+            rec.enroll(lab, [synth_word(lab, i) for i in range(3)])
+        spotter = KeywordSpotter(rec)
+        higher_better = False
 
     thresholds = [float(t) for t in args.thresholds.split(",")]
     noises = [float(n) for n in args.noises.split(",")]
     hop = cfg.frontend.hop_len
 
+    print(f"# family={args.family}"
+          + (" (noise-adapt)" if getattr(args, "noise_adapt", False)
+             else ""))
     print(f"# spotting matrix: {args.streams} streams x "
           f"{args.words_per_stream} words, {len(keywords)} keywords + "
           f"{len(distract)} distractors, 3 templates/keyword")
@@ -92,13 +122,20 @@ def main():
         cells = []
         for thr in thresholds:
             from dsp_tpu.ops.spot import extract_events
-            ids = np.asarray(rec.device_bank()[1])
             evs = []
-            for norm, start in fields:
-                raw = extract_events(norm, start, thr, labels=ids)
-                evs.append([(rec.labels[l], s, e, sc)
-                            for l, s, e, sc in raw])
-            p, r, f1 = score(evs, truths, hop)
+            if higher_better:
+                for llr, start in fields:
+                    raw = extract_events(-llr, start, -thr,
+                                         min_gap=spotter.min_gap)
+                    evs.append([(rec.labels[r_], s, e, -neg)
+                                for r_, s, e, neg in raw])
+            else:
+                ids = np.asarray(rec.device_bank()[1])
+                for norm, start in fields:
+                    raw = extract_events(norm, start, thr, labels=ids)
+                    evs.append([(rec.labels[l], s, e, sc)
+                                for l, s, e, sc in raw])
+            p, r, f1 = score(evs, truths, hop, midpoint=higher_better)
             cells.append(f"P{p:.2f}/R{r:.2f}/F{f1:.2f}")
         print(f"| {noise:g} | " + " | ".join(cells) + " |")
 
