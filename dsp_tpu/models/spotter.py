@@ -330,7 +330,7 @@ class HmmSpotter:
     """
 
     def __init__(self, recognizer, threshold: float = 0.0,
-                 min_gap: int = 25):
+                 min_gap: int = 45):
         if recognizer.params is None:
             raise ValueError("recognizer not fitted")
         if getattr(recognizer, "ubm", None) is None:
@@ -340,7 +340,10 @@ class HmmSpotter:
                 "checkpoint saved after round 4")
         self.rec = recognizer
         self.threshold = threshold
-        self.min_gap = min_gap    # landmark suppression margin (frames)
+        self.min_gap = min_gap    # landmark suppression margin (frames);
+        #   45 measured best-F1 on the spotting matrix (25: duplicate
+        #   landmarks inside long words cost precision, F1 0.76; 60+:
+        #   adjacent keywords merge, recall 0.97 -> 0.87 — RESULTS.md)
         self.cfg = dataclasses.replace(recognizer.cfg, use_vad=False)
         self.mats = recognizer.mats
 

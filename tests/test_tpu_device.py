@@ -242,3 +242,26 @@ def test_keyword_spotting_on_device():
     for (lab, s, e, sc), (tl, ts, te) in zip(events, want):
         lo, hi = max(s, ts), min(e, te)
         assert hi - lo > 0.5 * (te - ts), (lab, (s, e), (ts, te))
+
+
+def test_hmm_spotting_on_device():
+    """Round-4 surface: the HMM keyword/filler spotter (open-endpoint
+    Viterbi vs the UBM) finds its words on the real chip — midpoint hit
+    rule, body identical to the CPU-verified e2e test."""
+    from dsp_tpu.config import HmmConfig
+    from dsp_tpu.io.dataset import make_corpus, synth_spotting_stream
+    from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+    from dsp_tpu.models.spotter import HmmSpotter
+
+    cfg = PipelineConfig()
+    rec = GmmHmmRecognizer(cfg, HmmConfig(n_states=4, n_mix=2, n_iter=4))
+    rec.fit(make_corpus(["zero", "one"], n_per_word=5, seed=0))
+    vocab = ["zero", "one", "three", "four", "five"]
+    sig, truth = synth_spotting_stream({"zero", "one"}, vocab, seed=11,
+                                       n_words=6)
+    events, = HmmSpotter(rec, threshold=-30.0).spot([sig])
+    hop = cfg.frontend.hop_len
+    want = [(lab, s // hop, e // hop) for lab, s, e in truth]
+    assert [ev[0] for ev in events] == [w[0] for w in want], (events, want)
+    for (lab, s, e, sc), (tl, ts, te) in zip(events, want):
+        assert ts <= (s + e) / 2.0 <= te, (lab, (s, e), (ts, te))
