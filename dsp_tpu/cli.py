@@ -690,7 +690,7 @@ def cmd_warm(args):
             (args.bank, cfg, args.bank_size, args.k, args.max_segments,
              mult, getattr(args, "grammar", None)),
             timeout_s=args.timeout, retries=args.retries)
-        print(f"warm: connected len={mult}x max_samples "
+        print(f"warm: connected+spot len={mult}x max_samples "
               f"({_time.perf_counter() - t1:.1f}s)", flush=True)
     print(f"warm: done in {_time.perf_counter() - t0:.1f}s — runs at these "
           f"shapes now hit the persistent compilation cache")
@@ -724,6 +724,10 @@ def _warm_connected(bank_path, cfg, bank_size, k, max_segments, mult,
     if grammar:
         rec.classify_connected([sig], max_segments=max_segments,
                                method="level", grammar=grammar)
+    # the spot program at the same recording length (serve's `spot `
+    # request prefix dispatches exactly this shape)
+    from dsp_tpu.models.spotter import KeywordSpotter
+    KeywordSpotter(rec).scores([sig])
 
 
 def _warm_batch(bank_path, cfg, bank_size, k, matcher, shortlist, sigs):

@@ -326,7 +326,7 @@ def test_warm_connected_paths(corpus_dir, tmp_path, capsys):
     cli.main(["warm", "--bank", bank, "--batches", "", "--connected", "2",
               "--grammar", spec, "--timeout", "300", "--retries", "0"])
     out = capsys.readouterr().out
-    assert "warm: connected len=2x" in out and "warm: done" in out
+    assert "warm: connected+spot len=2x" in out and "warm: done" in out
 
 
 def test_evaluate_compile_timeout_runs_in_deadline_child(corpus_dir,
