@@ -405,6 +405,7 @@ def _load_spotter(args, cfg):
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
     from dsp_tpu.models.spotter import KeywordSpotter
     rec = KnnDtwRecognizer.load(args.bank, cfg)
+    rec.mesh = _maybe_mesh(args)     # --mesh: bank-sharded spot_sharded
     thr = args.threshold if args.threshold is not None else 40.0
     return KeywordSpotter(rec, threshold=thr), rec
 
