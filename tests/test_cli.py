@@ -403,3 +403,24 @@ def test_spot_hmm_family(tmp_path, capsys):
     cli.main(["spot", "--hmm", model, "--threshold", "-60", wav])
     out = capsys.readouterr().out
     assert wav in out
+
+
+def test_spot_mesh_flag_matches_single_device(tmp_path, capsys):
+    """`spot --mesh` (bank-sharded spot_sharded on the fake 8-device
+    mesh) prints the same events as the single-device path."""
+    d = str(tmp_path / "c")
+    cli.main(["make-corpus", "--out", d, "--n", "2", "--words", "3",
+              "--spotting", "1"])
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(d, "train"),
+              "--bank", bank])
+    spotting = os.path.join(d, "spotting")
+    wav = os.path.join(
+        spotting, sorted(p for p in os.listdir(spotting)
+                         if p.endswith(".wav"))[0])
+    capsys.readouterr()
+    cli.main(["spot", "--bank", bank, wav])
+    single = capsys.readouterr().out
+    cli.main(["spot", "--bank", bank, "--mesh", wav])
+    mesh = capsys.readouterr().out
+    assert mesh == single and wav in single
