@@ -326,7 +326,11 @@ class HmmSpotter:
 
     ``threshold`` is the per-frame LLR floor: > 0 means the word HMM
     explains the span better than the background model.  Offline batch
-    only (the DTW :class:`StreamingSpotter` is the online surface).
+    only (the DTW :class:`StreamingSpotter` is the online surface; the
+    HMM column update is frame-synchronous so an online variant is
+    mechanical if needed — ROADMAP #24).  A recognizer ``mesh`` is
+    ignored here: spotting work is per-(stream, word) independent, and
+    jit data-parallelism over streams needs no bank collective.
     """
 
     def __init__(self, recognizer, threshold: float = 0.0,
