@@ -226,6 +226,28 @@ def main():
           metric="spotting_audio_seconds_per_sec_per_chip",
           unit="audio-s/s/chip (100-template subsequence scan, witnesses)")
 
+    # ---- bonus: HMM spotting scan (cascade stage 1) --------------------------
+    # the parametric keyword/filler scan over the same streams: O(W*S)
+    # elementwise max-plus per frame vs the DTW scan's O(K*U) cells —
+    # this rate vs config "spot" is the cascade's cheap-front margin
+    # (stage 2 reranks only candidate windows; models/spotter.py)
+    from dsp_tpu.ops.spot_hmm import spot_hmm_impl
+
+    ubm = (jnp.asarray(rng.standard_normal((M, F)), dtype=jnp.float32),
+           jnp.zeros((M, F)), jnp.full((M,), -np.log(M)))
+
+    @jax.jit
+    def spot_hmm_step(f, token):
+        llr, _ = spot_hmm_impl(token_mix(f, token), conn_feats.length,
+                               params, ubm)
+        return llr
+
+    timed(spot_hmm_step, (conn_feats.feats,), 8, audio_s,
+          config="spot-hmm",
+          metric="hmm_spotting_audio_seconds_per_sec_per_chip",
+          unit="audio-s/s/chip (10-word keyword/filler scan, "
+               "cascade stage 1)")
+
     # ---- bonus: linear-time-warp fast matcher ------------------------------
     @jax.jit
     def ltw(x, token):

@@ -393,9 +393,22 @@ def cmd_evaluate_connected(args):
 
 
 def _load_spotter(args, cfg):
-    """--bank -> DTW KeywordSpotter; --hmm -> HmmSpotter (UBM filler)."""
-    if bool(args.bank) == bool(getattr(args, "hmm", None)):
-        raise SystemExit("spot: give exactly one of --bank / --hmm")
+    """--bank -> DTW KeywordSpotter; --hmm -> HmmSpotter (UBM filler);
+    BOTH -> CascadeSpotter (HMM landmarks propose, DTW reranks)."""
+    if not args.bank and not getattr(args, "hmm", None):
+        raise SystemExit("spot: give --bank, --hmm, or both (cascade)")
+    if args.bank and getattr(args, "hmm", None):
+        from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+        from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+        from dsp_tpu.models.spotter import CascadeSpotter
+        hrec = GmmHmmRecognizer.load(args.hmm, cfg)
+        brec = KnnDtwRecognizer.load(args.bank, cfg)
+        thr = args.threshold if args.threshold is not None else 40.0
+        hthr = getattr(args, "hmm_threshold", None)
+        sp = CascadeSpotter(
+            hrec, brec, threshold=thr,
+            **({} if hthr is None else {"hmm_threshold": hthr}))
+        return sp, brec
     if getattr(args, "hmm", None):
         from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
         from dsp_tpu.models.spotter import HmmSpotter
@@ -420,7 +433,8 @@ def cmd_spot(args):
     if args.stream:
         if getattr(args, "hmm", None):
             raise SystemExit("spot --stream is the DTW (SPRING) online "
-                             "path; the HMM spotter is offline-only")
+                             "path; the HMM and cascade spotters are "
+                             "offline-only")
         rec = KnnDtwRecognizer.load(args.bank, cfg)
         # online path: feed fixed chunks, emit events as confirmed;
         # the final short chunk goes through flush(tail) so results
@@ -477,7 +491,7 @@ def cmd_evaluate_spot(args):
     # span-midpoint-inside-truth for the HMM spotter (its LLR peaks on
     # a word's high-contrast CORE — landmark spans, the standard KWS
     # midpoint criterion)
-    midpoint = bool(getattr(args, "hmm", None))
+    midpoint = bool(getattr(args, "hmm", None)) and not bool(args.bank)
     tp = fa = 0
     n_truth = sum(len(t) for t in truths)
     for evs, truth in zip(got, truths):
@@ -1049,7 +1063,16 @@ def main(argv=None):
     p.add_argument("--hmm",
                    help="GMM-HMM checkpoint: open-endpoint Viterbi vs "
                         "the stored UBM filler (per-frame LLR scores, "
-                        "default threshold 0; offline only)")
+                        "default threshold 0; offline only).  With "
+                        "--bank AS WELL this becomes the CASCADE "
+                        "spotter: HMM landmarks propose candidate "
+                        "windows, exact subsequence DTW against the "
+                        "bank relabels/re-spans them (full-word spans, "
+                        "DTW score units)")
+    p.add_argument("--hmm-threshold", type=float, default=None,
+                   help="cascade only: stage-1 candidate LLR floor "
+                        "(default -45, permissive — stage 2 restores "
+                        "precision)")
     p.add_argument("--threshold", type=float, default=None,
                    help="span-normalised DTW score below which a match "
                         "is an event (same units as classify "
@@ -1073,7 +1096,11 @@ def main(argv=None):
                    help="dir with events.tsv + WAVs (make-corpus "
                         "--spotting)")
     p.add_argument("--bank", help="DTW spotter (50%%-overlap hit rule)")
-    p.add_argument("--hmm", help="HMM spotter (midpoint hit rule)")
+    p.add_argument("--hmm", help="HMM spotter (midpoint hit rule); "
+                                 "with --bank as well: cascade spotter "
+                                 "(50%%-overlap rule — full-word spans)")
+    p.add_argument("--hmm-threshold", type=float, default=None,
+                   help="cascade stage-1 candidate LLR floor")
     p.add_argument("--threshold", type=float, default=None)
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_spot)

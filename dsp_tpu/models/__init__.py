@@ -10,6 +10,7 @@ from dsp_tpu.models.streaming import StreamingRecognizer  # noqa: E402
 __all__.append("StreamingRecognizer")
 
 from dsp_tpu.models.spotter import (KeywordSpotter, StreamingSpotter,  # noqa: E402
-                                    HmmSpotter)
+                                    HmmSpotter, CascadeSpotter)
 
-__all__ += ["KeywordSpotter", "StreamingSpotter", "HmmSpotter"]
+__all__ += ["KeywordSpotter", "StreamingSpotter", "HmmSpotter",
+            "CascadeSpotter"]

@@ -132,8 +132,13 @@ def init_params(feats: jax.Array, lengths: jax.Array, cfg: HmmConfig,
     w = gamma.reshape(-1, s).T                                    # [S, NT]
     x = feats.reshape(-1, f)
     tot = jnp.maximum(w.sum(-1, keepdims=True), 1e-6)             # [S, 1]
-    mean_s = (w @ x) / tot                                        # [S, F]
-    var_s = (w @ (x * x)) / tot - mean_s**2                       # [S, F]
+    # moment accumulations share gmm_loglik_flat's precision rule: the
+    # E[x^2] - mean^2 variance form cancels catastrophically under the
+    # TPU default bf16 multiplies (observed: fit-time model corruption
+    # on TPU — word LLRs off by tens of nats — fine on CPU)
+    hi = jax.lax.Precision.HIGHEST
+    mean_s = jnp.matmul(w, x, precision=hi) / tot                 # [S, F]
+    var_s = jnp.matmul(w, x * x, precision=hi) / tot - mean_s**2
     var_s = jnp.maximum(var_s, cfg.var_floor)
 
     # spread M components around the state mean along the state stddev
@@ -175,8 +180,11 @@ def _gmm_stats(feats: jax.Array, valid: jax.Array, gamma: jax.Array,
     w = (gamma * valid[..., None]).reshape(n * t, s)              # [NT, S]
     r = resp * w[..., None]                                       # [NT, S, M]
     tot = r.sum(0)                                                # [S, M]
-    sx = jnp.einsum("nsm,nf->smf", r, x)
-    sxx = jnp.einsum("nsm,nf->smf", r, x * x)
+    # f32 MXU precision: these sums feed the E[x^2] - mean^2 M-step
+    # (see init_params — bf16 accumulation corrupts the fitted model)
+    hi = jax.lax.Precision.HIGHEST
+    sx = jnp.einsum("nsm,nf->smf", r, x, precision=hi)
+    sxx = jnp.einsum("nsm,nf->smf", r, x * x, precision=hi)
     return tot, sx, sxx
 
 
@@ -387,8 +395,10 @@ def fit_ubm(feats: jax.Array, lengths: jax.Array, cfg: HmmConfig,
     wts = (jnp.arange(t)[None, :] < lengths[:, None]).reshape(-1)
     wts = wts.astype(jnp.float32)                             # [NT]
     total = jnp.maximum(wts.sum(), 1.0)
-    gmean = (wts @ x) / total
-    gvar = jnp.maximum((wts @ (x * x)) / total - gmean**2, cfg.var_floor)
+    hi = jax.lax.Precision.HIGHEST    # bf16 breaks E[x^2]-mean^2 (above)
+    gmean = jnp.matmul(wts, x, precision=hi) / total
+    gvar = jnp.maximum(jnp.matmul(wts, x * x, precision=hi) / total
+                       - gmean**2, cfg.var_floor)
     # init: global mean/var with jittered means
     jitter = jax.random.normal(key, (m, f))
     means = gmean[None] + 0.3 * jitter * jnp.sqrt(gvar)[None]
@@ -400,9 +410,9 @@ def fit_ubm(feats: jax.Array, lengths: jax.Array, cfg: HmmConfig,
         ll = gmm_loglik_flat(x, means, log_var) + log_mix      # [NT, M]
         resp = jax.nn.softmax(ll, axis=-1) * wts[:, None]
         tot = jnp.maximum(resp.sum(0), 1e-6)                   # [M]
-        mu = (resp.T @ x) / tot[:, None]
-        var = jnp.maximum((resp.T @ (x * x)) / tot[:, None] - mu**2,
-                          cfg.var_floor)
+        mu = jnp.matmul(resp.T, x, precision=hi) / tot[:, None]
+        var = jnp.maximum(jnp.matmul(resp.T, x * x, precision=hi)
+                          / tot[:, None] - mu**2, cfg.var_floor)
         mix = jnp.maximum(tot / tot.sum(), 1e-6)
         return (mu, jnp.log(var), jnp.log(mix / mix.sum())), None
 

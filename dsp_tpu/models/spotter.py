@@ -314,6 +314,166 @@ class StreamingSpotter:
         return events
 
 
+class CascadeSpotter:
+    """Two-stage keyword spotting: HMM landmark scan -> exact DTW rerank.
+
+    Closes the HMM spotter's discrimination gap (clean F1 0.83 vs the
+    DTW spotter's 1.00 — docs/RESULTS.md round-4 family matrix, driven
+    by cross-keyword confusions at 4 states x 2 mix) without paying the
+    DTW spotter's full-stream cost:
+
+    * **Stage 1 — candidate generation** (:class:`HmmSpotter` at a
+      permissive LLR floor): per-frame work is O(W·S) elementwise
+      max-plus (~20 fused ops for 5 keywords) vs the full-bank
+      subsequence DTW's O(K·U) (~1.5k cells for 15 one-second
+      templates), so on long streams with sparse keywords the scan is
+      the cheap front.  Labels from stage 1 are IGNORED — only the
+      landmark spans matter, which is exactly why its cross-keyword
+      confusions stop mattering.
+    * **Stage 2 — exact rerank**: each candidate span, widened by
+      ``margin`` frames, is cut from the stream's features and matched
+      against the WHOLE template bank by the offline subsequence DTW
+      (ops/spot.py:subseq_dtw_batch) — all windows in ONE batched MXU
+      cost GEMM (windows padded to a common 32-frame-quantised width, so
+      the program re-compiles only when the bucket grows).  The best
+      (template, end-column) relabels the candidate; ``threshold`` is
+      the same span-normalised DTW floor :class:`KeywordSpotter` uses,
+      so calibrations transfer.
+
+    Duplicate landmarks inside one occurrence rescore to overlapping
+    DTW spans and are greedily suppressed best-score-first, which lets
+    stage 1 run at a SMALLER ``min_gap`` than the standalone HMM
+    spotter's 45 (default 25 here) — recall candidates the standalone
+    spotter's wider suppression would have eaten.
+
+    Both recognizers must share a frame grid (sample rate / frame /
+    hop); feature types may differ (each stage extracts its own).  A
+    bank-recognizer ``mesh`` is ignored: stage 2's windows are few and
+    short, one small batched GEMM — dispatch would dominate any bank
+    sharding.  Enroll a ``cmn=False`` bank (same envelope as
+    :class:`KeywordSpotter`).
+    """
+
+    def __init__(self, hmm_recognizer, bank_recognizer,
+                 threshold: float = 40.0, hmm_threshold: float = -45.0,
+                 margin: int = 12, cand_min_gap: int = 25):
+        fh, fb = hmm_recognizer.cfg.frontend, bank_recognizer.cfg.frontend
+        if (fh.sample_rate, fh.frame_len, fh.hop_len) != \
+                (fb.sample_rate, fb.frame_len, fb.hop_len):
+            raise ValueError(
+                "cascade stages must share a frame grid: hmm "
+                f"(sr={fh.sample_rate}, frame={fh.frame_len}, "
+                f"hop={fh.hop_len}) vs bank (sr={fb.sample_rate}, "
+                f"frame={fb.frame_len}, hop={fb.hop_len})")
+        self.stage1 = HmmSpotter(hmm_recognizer, threshold=hmm_threshold,
+                                 min_gap=cand_min_gap)
+        self.rec = bank_recognizer
+        self.threshold = threshold
+        self.hmm_threshold = hmm_threshold
+        self.margin = margin
+        self.cfg = dataclasses.replace(bank_recognizer.cfg, use_vad=False)
+        self.mats = bank_recognizer.mats
+
+    def frame_to_seconds(self, frame: int) -> float:
+        f = self.cfg.frontend
+        return frame * f.hop_len / f.sample_rate
+
+    def _stream_feats(self, signals):
+        """Per-stream bank-config feature matrices (host numpy,
+        [T_i, F]) — stage 2's own front-end pass (stage 1 extracts with
+        the HMM config; the two may differ in cmn/deltas/type)."""
+        f = self.cfg.frontend
+        groups = pl.group_by_padded_len(signals, self.cfg.max_samples)
+        out: dict = {}
+        for pad_len, idxs in groups.items():
+            t_max = max(1, 1 + (pad_len - f.frame_len) // f.hop_len)
+            x, n = pl.pad_signals([signals[i] for i in idxs], pad_len)
+            feats = pl.extract_recording_features(
+                jnp.asarray(x), jnp.asarray(n), self.mats, self.cfg,
+                t_max)
+            fh = np.asarray(feats.feats)
+            lens = np.asarray(feats.length)
+            for row, i in enumerate(idxs):
+                out[i] = fh[row, :int(lens[row])]
+        return [out[i] for i in range(len(signals))]
+
+    def rescored(self, signals):
+        """Stage-1 candidates rescored by the bank: per-stream lists of
+        ``(label, start_frame, end_frame, dtw_score)`` — UNfiltered and
+        UNsuppressed (every candidate window yields its best bank
+        match), so an eval harness can sweep ``threshold`` without
+        re-running either stage."""
+        out = [[] for _ in signals]
+        if not len(signals):
+            return out
+        cands = self.stage1.spot(signals, threshold=self.hmm_threshold)
+        if not any(cands):
+            return out
+        feats = self._stream_feats(signals)
+        bank, ids = self.rec.device_bank()
+        ids = np.asarray(ids)
+        # a landmark is a few frames at a word's high-contrast CORE, so
+        # the full occurrence can start up to ~one template length
+        # before it and end as far after: extend by the bank's longest
+        # template (+ margin slack) on each side
+        ext = int(np.max(np.asarray(bank.length))) + self.margin
+        wins = []                        # (stream idx, lo, mid, rows)
+        for i, evs in enumerate(cands):
+            t_i = len(feats[i])
+            for _lab, s, e, _llr in evs:
+                lo = max(0, s - ext)
+                hi = min(t_i, e + 1 + ext)
+                if hi - lo >= 2:
+                    wins.append((i, lo, (s + e) / 2.0 - lo,
+                                 feats[i][lo:hi]))
+        if not wins:
+            return out
+        w_pad = -(-max(len(w) for _, _, _, w in wins) // 32) * 32
+        x = np.zeros((len(wins), w_pad, wins[0][3].shape[1]), np.float32)
+        lens = np.zeros((len(wins),), np.int32)
+        for n, (_, _, _, w) in enumerate(wins):
+            x[n, :len(w)] = w
+            lens[n] = len(w)
+        norm, start = sp.subseq_dtw_batch(
+            jnp.asarray(x), jnp.asarray(lens), bank.feats, bank.length,
+            squared=self.cfg.dtw.squared)
+        norm, start = np.asarray(norm), np.asarray(start)
+        cols = np.arange(norm.shape[2])
+        for n, (i, lo, mid, _) in enumerate(wins):
+            # the rescore must CONTAIN the landmark midpoint — the
+            # window also covers neighboring words, and an unconstrained
+            # argmin would elect a stronger neighbor, collapsing two
+            # occurrences into one after suppression
+            ok = (cols[None, :] >= mid) & (start[n] <= mid)
+            m = np.where(ok, norm[n], sp.BIG)
+            r, j = divmod(int(np.argmin(m)), m.shape[1])
+            if m[r, j] < 0.5 * sp.BIG:
+                out[i].append((self.rec.labels[int(ids[r])],
+                               lo + int(start[n, r, j]), lo + j,
+                               float(m[r, j])))
+        return out
+
+    @staticmethod
+    def suppress(events):
+        """Greedy best-score-first overlap suppression (host-side; the
+        rescored spans are full-word DTW spans, so plain overlap is the
+        right criterion — no min_gap widening needed here)."""
+        kept = []
+        for lab, s, e, sc in sorted(events, key=lambda ev: ev[3]):
+            if all(e < ks or s > ke for _, ks, ke, _ in kept):
+                kept.append((lab, s, e, sc))
+        kept.sort(key=lambda ev: ev[1])
+        return kept
+
+    def spot(self, signals, threshold: float | None = None):
+        """Recordings -> [(label, start_frame, end_frame, score)] lists
+        (DTW span-normalised scores; same units/threshold semantics as
+        :class:`KeywordSpotter`)."""
+        thr = self.threshold if threshold is None else threshold
+        return [self.suppress([ev for ev in evs if ev[3] < thr])
+                for evs in self.rescored(signals)]
+
+
 class HmmSpotter:
     """HMM keyword spotting: open-endpoint Viterbi vs the UBM filler.
 

@@ -14,6 +14,11 @@ is backend-independent; run anywhere:
     JAX_PLATFORMS=cpu python scripts/spot_eval.py [--streams 20]
     JAX_PLATFORMS=cpu python scripts/spot_eval.py --family hmm \
         --thresholds=-60,-45,-30,-15,0
+    JAX_PLATFORMS=cpu python scripts/spot_eval.py --family cascade
+
+--family cascade: HMM landmarks propose, exact DTW reranks
+(models/spotter.py:CascadeSpotter); events carry full-word DTW spans,
+so the hit rule and threshold units are the DTW family's.
 """
 
 import argparse
@@ -58,7 +63,12 @@ def main():
     ap.add_argument("--words-per-stream", type=int, default=8)
     ap.add_argument("--thresholds", default="20,25,30,40,50,60")
     ap.add_argument("--noises", default="0.003,0.02,0.05")
-    ap.add_argument("--family", choices=["dtw", "hmm"], default="dtw")
+    ap.add_argument("--family", choices=["dtw", "hmm", "cascade"],
+                    default="dtw")
+    ap.add_argument("--hmm-threshold", type=float, default=-45.0,
+                    help="cascade stage-1 candidate LLR floor")
+    ap.add_argument("--cand-min-gap", type=int, default=25,
+                    help="cascade stage-1 landmark suppression margin")
     ap.add_argument("--noise-adapt", action="store_true",
                     help="hmm family: PMC-adapt the word HMMs AND the "
                          "UBM filler to each batch's estimated noise "
@@ -78,7 +88,7 @@ def main():
     cfg = PipelineConfig()
     keywords = DIGITS[:5]
     distract = DIGITS[5:]
-    if args.family == "hmm":
+    if args.family in ("hmm", "cascade"):
         from dsp_tpu.config import HmmConfig
         from dsp_tpu.io.dataset import make_corpus
         from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
@@ -90,6 +100,15 @@ def main():
         spotter = HmmSpotter(hrec)
         rec = hrec
         higher_better = True
+        if args.family == "cascade":
+            from dsp_tpu.models.spotter import CascadeSpotter
+            brec = KnnDtwRecognizer(cfg)
+            for lab in keywords:
+                brec.enroll(lab, [synth_word(lab, i) for i in range(3)])
+            spotter = CascadeSpotter(
+                hrec, brec, hmm_threshold=args.hmm_threshold,
+                cand_min_gap=args.cand_min_gap)
+            higher_better = False          # DTW-score events, full spans
     else:
         rec = KnnDtwRecognizer(cfg)
         for lab in keywords:
@@ -118,12 +137,16 @@ def main():
                 n_words=args.words_per_stream, noise=noise)
             sigs.append(sig)
             truths.append(truth)
-        fields = spotter.scores(sigs)
+        fields = (spotter.rescored(sigs) if args.family == "cascade"
+                  else spotter.scores(sigs))
         cells = []
         for thr in thresholds:
             from dsp_tpu.ops.spot import extract_events
             evs = []
-            if higher_better:
+            if args.family == "cascade":
+                evs = [spotter.suppress([ev for ev in r if ev[3] < thr])
+                       for r in fields]
+            elif higher_better:
                 for llr, start in fields:
                     raw = extract_events(-llr, start, -thr,
                                          min_gap=spotter.min_gap)

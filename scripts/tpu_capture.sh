@@ -45,7 +45,7 @@ run bench_all 5400 python bench_all.py
 # 4. serving latency percentiles
 run serve_latency 3600 python scripts/serve_latency.py
 
-# 5. on-device test artifact (9 tests -> docs/TPU_TESTS.md refresh)
+# 5. on-device test artifact (11 tests -> docs/TPU_TESTS.md refresh)
 run device_tests 5400 env DSP_TPU_DEVICE_TESTS=1 \
     python -m pytest tests/test_tpu_device.py -v -s
 

@@ -405,6 +405,39 @@ def test_spot_hmm_family(tmp_path, capsys):
     assert wav in out
 
 
+def test_spot_cascade_family(tmp_path, capsys):
+    """--bank AND --hmm together select the cascade spotter: HMM
+    landmarks propose windows, the bank's subsequence DTW reranks —
+    full-word spans (overlap hit rule), DTW score units."""
+    d = str(tmp_path / "c")
+    cli.main(["make-corpus", "--out", d, "--n", "3", "--words", "3",
+              "--spotting", "2"])
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(d, "train"),
+              "--bank", bank])
+    model = str(tmp_path / "hmm.npz")
+    cli.main(["train-hmm", "--corpus", os.path.join(d, "train"),
+              "--model", model])
+    capsys.readouterr()
+    spotting = os.path.join(d, "spotting")
+    cli.main(["evaluate-spot", "--corpus", spotting, "--bank", bank,
+              "--hmm", model])
+    out = capsys.readouterr().out
+    f1 = float(out.rsplit("f1:", 1)[1].split()[0])
+    assert f1 >= 0.6, out
+    wav = os.path.join(
+        spotting, sorted(p for p in os.listdir(spotting)
+                         if p.endswith(".wav"))[0])
+    cli.main(["spot", "--bank", bank, "--hmm", model, wav])
+    out = capsys.readouterr().out
+    assert wav in out
+    # cascade is offline-only on the CLI
+    with pytest.raises(SystemExit):
+        cli.main(["spot", "--bank", bank, "--hmm", model, "--stream", wav])
+    with pytest.raises(SystemExit):
+        cli.main(["spot", wav])                  # neither model given
+
+
 def test_spot_mesh_flag_matches_single_device(tmp_path, capsys):
     """`spot --mesh` (bank-sharded spot_sharded on the fake 8-device
     mesh) prints the same events as the single-device path."""

@@ -244,6 +244,69 @@ def test_keyword_spotting_on_device():
         assert hi - lo > 0.5 * (te - ts), (lab, (s, e), (ts, te))
 
 
+def test_gmm_fit_precision_on_device():
+    """Round-4 regression: the EM fit's moment GEMMs (w @ x,
+    w @ x^2, the _gmm_stats einsums, the UBM EM) must run at f32 MXU
+    precision — under the TPU-default bf16 multiplies the
+    E[x^2] - mean^2 variance update cancels catastrophically and the
+    fitted models are corrupted (observed: a 3-word fit whose 'one'
+    HMM never beat the UBM filler by better than -45 nats/frame on its
+    own training distribution, while the CPU fit peaked > 0).  Here:
+    every keyword's spotting LLR field must peak well above the
+    permissive candidate floor at its planted location."""
+    from dsp_tpu.config import HmmConfig
+    from dsp_tpu.io.dataset import (DIGITS, make_corpus,
+                                    synth_spotting_stream)
+    from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+    from dsp_tpu.models.spotter import HmmSpotter
+
+    cfg = PipelineConfig()
+    keywords = DIGITS[:3]
+    rec = GmmHmmRecognizer(cfg, HmmConfig(n_states=4, n_mix=2, n_iter=4))
+    rec.fit(make_corpus(keywords, n_per_word=3, seed=0))
+    sig, truth = synth_spotting_stream(
+        keywords, keywords + DIGITS[5:8], seed=5000, n_words=6)
+    (llr, start), = HmmSpotter(rec).scores([sig])
+    hop = cfg.frontend.hop_len
+    labels = list(rec.labels)
+    for lab, s, e in truth:
+        row = labels.index(lab)
+        peak = float(llr[row, s // hop: e // hop + 1].max())
+        # healthy fits peak in [-26, +2] nats/frame on this stream
+        # (measured, TPU == CPU after the fix); the corrupted fit's
+        # 'one' model stayed below the -45 candidate floor everywhere
+        assert peak > -40.0, (lab, peak)
+
+
+def test_cascade_spotting_on_device():
+    """Round-4 surface: the cascade spotter (HMM landmarks -> exact
+    subsequence-DTW rerank) on the real chip — full-word spans with
+    correct labels at the shipped defaults."""
+    from dsp_tpu.config import HmmConfig
+    from dsp_tpu.io.dataset import (DIGITS, make_corpus,
+                                    synth_spotting_stream)
+    from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    from dsp_tpu.models.spotter import CascadeSpotter
+
+    cfg = PipelineConfig()
+    keywords = DIGITS[:3]
+    hrec = GmmHmmRecognizer(cfg, HmmConfig(n_states=4, n_mix=2, n_iter=4))
+    hrec.fit(make_corpus(keywords, n_per_word=3, seed=0))
+    brec = KnnDtwRecognizer(cfg)
+    for lab in keywords:
+        brec.enroll(lab, [synth_word(lab, i) for i in range(3)])
+    sig, truth = synth_spotting_stream(
+        keywords, keywords + DIGITS[5:8], seed=5000, n_words=6)
+    events, = CascadeSpotter(hrec, brec).spot([sig])
+    hop = cfg.frontend.hop_len
+    want = [(lab, s // hop, e // hop) for lab, s, e in truth]
+    assert [ev[0] for ev in events] == [w[0] for w in want], (events, want)
+    for (lab, s, e, sc), (tl, ts, te) in zip(events, want):
+        ov = min(e, te) - max(s, ts) + 1
+        assert ov >= 0.5 * (te - ts), (lab, (s, e), (ts, te))
+
+
 def test_hmm_spotting_on_device():
     """Round-4 surface: the HMM keyword/filler spotter (open-endpoint
     Viterbi vs the UBM) finds its words on the real chip — midpoint hit
