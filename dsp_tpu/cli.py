@@ -431,17 +431,25 @@ def cmd_spot(args):
     cfg = _pipeline_cfg(args)
     sigs = [read_wav(p, cfg.frontend.sample_rate)[1] for p in args.wavs]
     if args.stream:
+        if getattr(args, "hmm", None) and args.bank:
+            raise SystemExit("the cascade spotter is offline-only; "
+                             "--stream takes --bank (SPRING DTW) or "
+                             "--hmm (keyword/filler column update)")
         if getattr(args, "hmm", None):
-            raise SystemExit("spot --stream is the DTW (SPRING) online "
-                             "path; the HMM and cascade spotters are "
-                             "offline-only")
-        rec = KnnDtwRecognizer.load(args.bank, cfg)
+            from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+            from dsp_tpu.models.spotter import StreamingHmmSpotter
+            rec = GmmHmmRecognizer.load(args.hmm, cfg)
+            mk = lambda thr: StreamingHmmSpotter(rec, threshold=thr)
+            thr = args.threshold if args.threshold is not None else 0.0
+        else:
+            rec = KnnDtwRecognizer.load(args.bank, cfg)
+            mk = lambda thr: StreamingSpotter(rec, threshold=thr)
+            thr = args.threshold if args.threshold is not None else 40.0
         # online path: feed fixed chunks, emit events as confirmed;
         # the final short chunk goes through flush(tail) so results
         # match the offline spotter on the unpadded signal
-        thr = args.threshold if args.threshold is not None else 40.0
         for path, sig in zip(args.wavs, sigs):
-            ss = StreamingSpotter(rec, threshold=thr)
+            ss = mk(thr)
             n_full = len(sig) // ss.chunk_len * ss.chunk_len
             events = []
             for lo in range(0, n_full, ss.chunk_len):
@@ -1084,8 +1092,10 @@ def main(argv=None):
                         ">=50 starts passing distractor fragments); "
                         "calibrate per deployment with evaluate-spot")
     p.add_argument("--stream", action="store_true",
-                   help="online SPRING decode (events confirmed "
-                        "chunk-by-chunk) instead of the offline batch")
+                   help="online decode (events confirmed chunk-by-"
+                        "chunk) instead of the offline batch: SPRING "
+                        "DP with --bank, the keyword/filler column "
+                        "update with --hmm (cascade is offline-only)")
     p.add_argument("wavs", nargs="+")
     _add_common(p)
     p.set_defaults(fn=cmd_spot)

@@ -10,7 +10,8 @@ from dsp_tpu.models.streaming import StreamingRecognizer  # noqa: E402
 __all__.append("StreamingRecognizer")
 
 from dsp_tpu.models.spotter import (KeywordSpotter, StreamingSpotter,  # noqa: E402
-                                    HmmSpotter, CascadeSpotter)
+                                    HmmSpotter, CascadeSpotter,
+                                    StreamingHmmSpotter)
 
 __all__ += ["KeywordSpotter", "StreamingSpotter", "HmmSpotter",
-            "CascadeSpotter"]
+            "CascadeSpotter", "StreamingHmmSpotter"]

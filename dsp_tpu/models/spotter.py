@@ -134,35 +134,42 @@ class KeywordSpotter:
         return out
 
 
-class StreamingSpotter:
-    """Online keyword search over raw audio chunks (SPRING DP).
+class _StreamingSpotterBase:
+    """Shared online-spotting machinery: causal front-end ingestion,
+    delta finalization (~40 ms lag), best-match hangover confirmation.
 
     ``feed(chunk)`` returns the events CONFIRMED by that chunk; an
     event is confirmed once ``hangover`` stream frames pass without an
     overlapping better match (or a new sub-threshold match begins after
     its end).  ``flush()`` closes the stream and emits any pending
     match.  Frame indices are global stream frames (offline grid).
+
+    Subclasses provide the DP: `_dp_reset()`, `_dp_step(buf, n) ->
+    (scores [K, n], starts [K, n])` (scores MINIMISED against
+    `self.threshold` — negate a higher-is-better field), `_row_label`,
+    and `_emit_score` (presentation transform on the emitted score).
+    `min_gap` widens the post-emit re-open suppression, the streaming
+    analog of extract_events' landmark margin.
     """
 
-    def __init__(self, recognizer: KnnDtwRecognizer, chunk_len: int = 1600,
-                 threshold: float = 40.0, hangover: int = 25):
+    min_gap = 0
+
+    def __init__(self, recognizer, chunk_len: int, threshold: float,
+                 hangover: int):
         self.rec = recognizer
         self.cfg = recognizer.cfg
         f = self.cfg.frontend
         if f.feature_type != "mfcc":
             raise NotImplementedError(
-                "StreamingSpotter supports feature_type='mfcc' only")
+                f"{type(self).__name__} supports feature_type='mfcc' only")
         if f.cmn:
             raise NotImplementedError(
-                "cmn is a whole-stream statistic; enroll a cmn=False "
-                "bank for streaming spotting")
+                "cmn is a whole-stream statistic; train/enroll a "
+                "cmn=False model for streaming spotting")
         self.chunk_len = chunk_len
         self.threshold = threshold
         self.hangover = hangover
         self.mats = recognizer.mats
-        bank, ids = recognizer.device_bank()
-        self._bank = bank
-        self._ids = np.asarray(ids)
         self._w = f.delta_width if f.add_deltas else 0
         self._lag = 2 * self._w
         # fixed DP feed-buffer width: frames a chunk can yield, + slack
@@ -170,9 +177,8 @@ class StreamingSpotter:
         self.reset()
 
     def reset(self) -> None:
-        k, t = self._bank.feats.shape[0], self._bank.feats.shape[1]
         self.state = st.init_state(self.cfg.frontend, self.chunk_len)
-        self.dp = sp.spot_init(k, t)
+        self._dp_reset()
         self._frames: list[np.ndarray] = []   # raw 13-dim MFCC history
         self._offset = 0                      # global index of _frames[0]
         self._fed = 0                         # global frames fed to DP
@@ -203,20 +209,15 @@ class StreamingSpotter:
         return rows[self._fed - lo_ctx: upto - lo_ctx]
 
     def _feed_dp(self, rows: np.ndarray):
-        """Feed final feature rows to the SPRING DP; update pending."""
+        """Feed final feature rows to the DP; update the pending match."""
         events = []
         for lo in range(0, len(rows), self._buf):
             part = rows[lo:lo + self._buf]
             buf = np.zeros((self._buf, rows.shape[1]), np.float32)
             buf[:len(part)] = part
-            self.dp, norm, start = sp.spot_chunk(
-                self.dp, jnp.asarray(buf),
-                jnp.asarray(len(part), jnp.int32),
-                self._bank.feats, self._bank.length,
-                squared=self.cfg.dtw.squared)
-            norm = np.asarray(norm)[:, :len(part)]
-            start = np.asarray(start)[:, :len(part)]
-            events.extend(self._update_pending(norm, start))
+            norm, start = self._dp_step(buf, len(part))
+            events.extend(self._update_pending(norm[:, :len(part)],
+                                               start[:, :len(part)]))
         return events
 
     def _update_pending(self, norm: np.ndarray, start: np.ndarray):
@@ -230,15 +231,16 @@ class StreamingSpotter:
             sc = float(norm[r, col])
             if sc < self.threshold:
                 s = int(start[r, col])
-                if s <= self._emitted_end:
+                if s <= self._emitted_end + self.min_gap:
                     # trailing columns of an ALREADY-emitted occurrence
                     # stay sub-threshold for a while — never re-open it
-                    # (mirrors extract_events' overlap suppression)
+                    # (mirrors extract_events' overlap suppression,
+                    # widened by min_gap for landmark scorers)
                     pass
                 elif self._pending is None:
                     self._pending = (r, s, j, sc)
                     self._last_improve = j
-                elif s > self._pending[2]:
+                elif s > self._pending[2] + self.min_gap:
                     # new match starts after pending ends: confirm it
                     events.append(self._emit())
                     self._pending = (r, s, j, sc)
@@ -256,7 +258,11 @@ class StreamingSpotter:
         r, s, e, sc = self._pending
         self._pending = None
         self._emitted_end = e
-        return (self.rec.labels[int(self._ids[r])], s, e, sc)
+        return (self._row_label(r), s, e, self._emit_score(sc))
+
+    @staticmethod
+    def _emit_score(sc: float) -> float:
+        return sc
 
     def _trim_history(self) -> None:
         # keep the delta context window behind the DP frontier
@@ -312,6 +318,83 @@ class StreamingSpotter:
         if self._pending is not None:
             events.append(self._emit())
         return events
+
+
+class StreamingSpotter(_StreamingSpotterBase):
+    """Online keyword search over raw audio chunks (SPRING DP) against
+    an enrolled template bank — see :class:`_StreamingSpotterBase` for
+    the feed/flush/confirmation contract."""
+
+    def __init__(self, recognizer: KnnDtwRecognizer, chunk_len: int = 1600,
+                 threshold: float = 40.0, hangover: int = 25):
+        bank, ids = recognizer.device_bank()
+        self._bank = bank
+        self._ids = np.asarray(ids)
+        super().__init__(recognizer, chunk_len, threshold, hangover)
+
+    def _dp_reset(self) -> None:
+        k, t = self._bank.feats.shape[0], self._bank.feats.shape[1]
+        self.dp = sp.spot_init(k, t)
+
+    def _dp_step(self, buf: np.ndarray, n_valid: int):
+        self.dp, norm, start = sp.spot_chunk(
+            self.dp, jnp.asarray(buf), jnp.asarray(n_valid, jnp.int32),
+            self._bank.feats, self._bank.length,
+            squared=self.cfg.dtw.squared)
+        return np.asarray(norm), np.asarray(start)
+
+    def _row_label(self, r: int) -> str:
+        return self.rec.labels[int(self._ids[r])]
+
+
+class StreamingHmmSpotter(_StreamingSpotterBase):
+    """Online HMM keyword/filler spotting (ROADMAP #24 -> closed).
+
+    The frame-synchronous column update of ops/spot_hmm.py streams
+    exactly like SPRING: `spot_hmm_chunk` carries the [W, S] Viterbi
+    front plus, per path, the UBM prefix AT ITS ENTRY FRAME (the
+    streaming replacement for the offline readout's prefix-array
+    lookup).  The DP is chunk-boundary-invariant; witnesses are
+    integer-exact vs offline and LLRs match to ~4e-4 (emission-GEMM
+    shape rounding — ops/spot_hmm.py:spot_hmm_chunk docstring).
+
+    ``threshold`` is the per-frame LLR floor (> 0 beats the filler),
+    same units as :class:`HmmSpotter`; internally the confirmation
+    logic minimises -LLR.  ``min_gap`` widens post-emit suppression
+    exactly like the offline landmark extractor's margin.  Requires a
+    fitted recognizer with its UBM (fit always stores one).
+    """
+
+    def __init__(self, recognizer, chunk_len: int = 1600,
+                 threshold: float = 0.0, hangover: int = 25,
+                 min_gap: int = 45):
+        if recognizer.params is None:
+            raise ValueError("recognizer not fitted")
+        if getattr(recognizer, "ubm", None) is None:
+            raise ValueError("recognizer has no UBM filler model")
+        self._params = recognizer.params
+        self._ubm = recognizer.ubm
+        self.min_gap = min_gap
+        super().__init__(recognizer, chunk_len, -threshold, hangover)
+
+    def _dp_reset(self) -> None:
+        from dsp_tpu.ops.spot_hmm import spot_hmm_init
+        w, s = self._params.log_pi.shape
+        self.dp = spot_hmm_init(w, s)
+
+    def _dp_step(self, buf: np.ndarray, n_valid: int):
+        from dsp_tpu.ops.spot_hmm import spot_hmm_chunk
+        self.dp, llr, start = spot_hmm_chunk(
+            self.dp, jnp.asarray(buf), jnp.asarray(n_valid, jnp.int32),
+            self._params, self._ubm)
+        return -np.asarray(llr), np.asarray(start)
+
+    def _row_label(self, r: int) -> str:
+        return self.rec.labels[r]
+
+    @staticmethod
+    def _emit_score(sc: float) -> float:
+        return -sc          # back to LLR units (higher = better)
 
 
 class CascadeSpotter:

@@ -31,6 +31,7 @@ stay > advance, matched here exactly).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -118,3 +119,100 @@ def spot_hmm_batch(streams: jax.Array, stream_lens: jax.Array,
                    params: HmmParams, ubm):
     """Spot every word HMM in every stream (see spot_hmm_impl)."""
     return spot_hmm_impl(streams, stream_lens, params, ubm)
+
+
+# ---------------------------------------------------------------- streaming
+
+class SpotHmmState(NamedTuple):
+    """Frame-synchronous keyword/filler DP state (streaming form).
+
+    The offline readout (:func:`_llr_readout`) looks the UBM prefix up
+    at every path's entry frame; a stream cannot keep that prefix array
+    unbounded, so each (word, state) path carries the prefix AT ITS OWN
+    ENTRY alongside the witness — both ride the same argmax selections.
+
+    v [W, S]      best path log-lik ending at each state, last frame.
+    st [W, S]     entry-frame witness of that path.
+    p_st [W, S]   UBM log-lik prefix at that path's entry frame.
+    p []          running UBM prefix (sum over all fed frames).
+    n_fed [] i32  stream frames consumed so far.
+    """
+    v: jax.Array
+    st: jax.Array
+    p_st: jax.Array
+    p: jax.Array
+    n_fed: jax.Array
+
+
+def spot_hmm_init(n_words: int, n_states: int,
+                  dtype=jnp.float32) -> SpotHmmState:
+    return SpotHmmState(jnp.full((n_words, n_states), NEG_INF, dtype),
+                        jnp.zeros((n_words, n_states), jnp.int32),
+                        jnp.zeros((n_words, n_states), dtype),
+                        jnp.zeros((), dtype), jnp.zeros((), jnp.int32))
+
+
+@jax.jit
+def spot_hmm_chunk(state: SpotHmmState, chunk: jax.Array,
+                   n_valid: jax.Array, params: HmmParams, ubm):
+    """Advance the keyword/filler DP by a chunk of feature frames.
+
+    chunk [C, F] (first n_valid rows real).  Returns (state', llr
+    [W, C], start [W, C]) — per-frame LLR fields matching the offline
+    :func:`spot_hmm_batch` columns.  Exactness envelope (measured,
+    tests/test_spot_hmm.py): the DP itself is chunk-BOUNDARY-invariant
+    (same sequential recurrence either way), so a fixed chunk size is
+    bit-exact vs any other tiling into the same shapes; across
+    DIFFERENT chunk shapes the per-frame emission GEMMs may round
+    differently (~1e-4 nats observed at C=1 vs C=57), and vs offline
+    the `jnp.cumsum` UBM prefix associates differently from this scan's
+    running sum — witnesses stay integer-exact in both cases, LLRs
+    match to ~4e-4.
+    """
+    means, log_var, log_mix = ubm
+    w, s = params.log_pi.shape
+    logb = emission_logb(chunk, params)                      # [C, W, S]
+    ull = gmm_loglik_flat(chunk, means, log_var)
+    ubm_ll = jax.nn.logsumexp(ull + log_mix, axis=-1)        # [C]
+    stay = jnp.diagonal(params.log_a, axis1=-2, axis2=-1)
+    adv = jnp.diagonal(params.log_a, offset=1, axis1=-2, axis2=-1)
+    ninf_col = jnp.full((w, 1), NEG_INF)
+    c = chunk.shape[0]
+    valid = jnp.arange(c) < n_valid
+
+    def step(carry, inp):
+        v, st, p_st, p, j = carry
+        lb, u_ll, ok = inp                                   # [W,S],[],bool
+        stay_v = v + stay
+        adv_v = jnp.concatenate([ninf_col, v[:, :-1] + adv], axis=1)
+        # tie order mirrors spot_viterbi exactly: stay > advance...
+        take_stay = stay_v >= adv_v
+        m = jnp.maximum(stay_v, adv_v)
+        sm = jnp.where(take_stay, st,
+                       jnp.concatenate([st[:, :1], st[:, :-1]], axis=1))
+        pm = jnp.where(take_stay, p_st,
+                       jnp.concatenate([p_st[:, :1], p_st[:, :-1]],
+                                       axis=1))
+        # ...and a fresh start (state 0) beats both on ties; its entry
+        # prefix is the running sum BEFORE this frame
+        is0 = jnp.arange(s)[None, :] == 0
+        fresh = is0 & (0.0 >= m)
+        m = jnp.where(fresh, 0.0, m)
+        sm = jnp.where(fresh, j, sm)
+        pm = jnp.where(fresh, p, pm)
+        v_new = lb + m
+        p_new = p + u_ll
+        span = (j - sm[:, -1] + 1).astype(v.dtype)
+        llr = (v_new[:, -1] - (p_new - pm[:, -1])) / span
+        llr = jnp.where(ok, llr, NEG_INF)
+        v = jnp.where(ok, v_new, v)
+        st = jnp.where(ok, sm, st)
+        p_st = jnp.where(ok, pm, p_st)
+        p = jnp.where(ok, p_new, p)
+        return (v, st, p_st, p, j + ok.astype(jnp.int32)), (llr, sm[:, -1])
+
+    (v, st, p_st, p, n_fed), (llrs, starts) = jax.lax.scan(
+        step, (state.v, state.st, state.p_st, state.p, state.n_fed),
+        (logb, ubm_ll, valid))
+    return (SpotHmmState(v, st, p_st, p, n_fed),
+            jnp.moveaxis(llrs, 0, 1), jnp.moveaxis(starts, 0, 1))

@@ -403,6 +403,11 @@ def test_spot_hmm_family(tmp_path, capsys):
     cli.main(["spot", "--hmm", model, "--threshold", "-60", wav])
     out = capsys.readouterr().out
     assert wav in out
+    # online path: the keyword/filler column update streams too
+    cli.main(["spot", "--hmm", model, "--threshold", "-60", "--stream",
+              wav])
+    out = capsys.readouterr().out
+    assert wav in out
 
 
 def test_spot_cascade_family(tmp_path, capsys):

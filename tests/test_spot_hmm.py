@@ -156,3 +156,113 @@ def test_ubm_persists_through_save_load(hmm_rec, tmp_path):
     assert loaded.ubm is not None
     for a, b in zip(loaded.ubm, hmm_rec.ubm):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("chunks", [[57], [10, 20, 27], [13, 44],
+                                    [8] * 7 + [1]])
+def test_spot_hmm_chunk_matches_offline(hmm_rec, chunks):
+    """Streaming column update vs the offline batch: entry witnesses
+    integer-exact, LLR within float tolerance (the offline cumsum UBM
+    prefix vs the scan's running sum, and emission-GEMM shape rounding
+    — ops/spot_hmm.py:spot_hmm_chunk docstring)."""
+    import jax.numpy as jnp
+
+    from dsp_tpu.ops.spot_hmm import (spot_hmm_batch, spot_hmm_chunk,
+                                      spot_hmm_init)
+
+    params, ubm = hmm_rec.params, hmm_rec.ubm
+    rng = np.random.default_rng(3)
+    u, f = sum(chunks), 39
+    stream = rng.normal(0.0, 3.0, size=(u, f)).astype(np.float32)
+    llr_off, st_off = spot_hmm_batch(
+        stream[None], jnp.asarray([u]), params, ubm)
+    llr_off, st_off = np.asarray(llr_off)[0], np.asarray(st_off)[0]
+
+    state = spot_hmm_init(*params.log_pi.shape)
+    llrs, starts = [], []
+    lo = 0
+    for c in chunks:
+        state, llr, s0 = spot_hmm_chunk(
+            state, jnp.asarray(stream[lo:lo + c]),
+            jnp.asarray(c, jnp.int32), params, ubm)
+        llrs.append(np.asarray(llr))
+        starts.append(np.asarray(s0))
+        lo += c
+    np.testing.assert_array_equal(np.concatenate(starts, 1), st_off)
+    np.testing.assert_allclose(np.concatenate(llrs, 1), llr_off,
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_spot_hmm_chunk_padding_rows_ignored(hmm_rec):
+    """Rows past n_valid must not advance the DP: a padded feed equals
+    the exact-length feed bit-for-bit."""
+    import jax.numpy as jnp
+
+    from dsp_tpu.ops.spot_hmm import spot_hmm_chunk, spot_hmm_init
+
+    params, ubm = hmm_rec.params, hmm_rec.ubm
+    rng = np.random.default_rng(4)
+    rows = rng.normal(0.0, 3.0, size=(11, 39)).astype(np.float32)
+    s1 = spot_hmm_init(*params.log_pi.shape)
+    s1, l1, w1 = spot_hmm_chunk(s1, jnp.asarray(rows),
+                                jnp.asarray(11, jnp.int32), params, ubm)
+    padded = np.concatenate([rows, 7.7 * np.ones((5, 39), np.float32)])
+    s2 = spot_hmm_init(*params.log_pi.shape)
+    s2, l2, w2 = spot_hmm_chunk(s2, jnp.asarray(padded),
+                                jnp.asarray(11, jnp.int32), params, ubm)
+    np.testing.assert_array_equal(np.asarray(s1.v), np.asarray(s2.v))
+    np.testing.assert_array_equal(np.asarray(s1.p), np.asarray(s2.p))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2)[:, :11])
+    assert (np.asarray(l2)[:, 11:] <= -1e29).all()
+
+
+def test_streaming_hmm_spotter_matches_offline_events(hmm_rec):
+    """StreamingHmmSpotter feed/flush vs the offline HmmSpotter at the
+    same threshold/min_gap: same labels in order, landmark spans within
+    a couple of frames, LLR scores close."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_spotter import _build_stream
+
+    from dsp_tpu.models.spotter import HmmSpotter, StreamingHmmSpotter
+
+    sig, spans = _build_stream(
+        ["three", "zero", "four", "one", "five"], seed=2)
+    thr = -30.0
+    offline, = HmmSpotter(hmm_rec, threshold=thr).spot([sig])
+    assert offline, "offline spotter found nothing — bad fixture"
+
+    ss = StreamingHmmSpotter(hmm_rec, chunk_len=1600, threshold=thr)
+    n_full = len(sig) // 1600 * 1600
+    events = []
+    for lo in range(0, n_full, 1600):
+        events += ss.feed(sig[lo:lo + 1600])
+    events += ss.flush(sig[n_full:])
+
+    assert [e[0] for e in events] == [e[0] for e in offline], (events,
+                                                               offline)
+    for (l1, s1, e1, c1), (l2, s2, e2, c2) in zip(events, offline):
+        assert abs(s1 - s2) <= 2 and abs(e1 - e2) <= 2, (events, offline)
+        np.testing.assert_allclose(c1, c2, rtol=1e-3, atol=2e-3)
+
+
+def test_streaming_hmm_spotter_chunk_size_invariance(hmm_rec):
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_spotter import _build_stream
+
+    from dsp_tpu.models.spotter import StreamingHmmSpotter
+
+    sig, _ = _build_stream(["zero", "three"], seed=5)
+    outs = []
+    for cl in (800, 1600):
+        ss = StreamingHmmSpotter(hmm_rec, chunk_len=cl, threshold=-30.0)
+        n_full = len(sig) // cl * cl
+        events = []
+        for lo in range(0, n_full, cl):
+            events += ss.feed(sig[lo:lo + cl])
+        events += ss.flush(sig[n_full:])
+        outs.append(events)
+    assert [e[:3] for e in outs[0]] == [e[:3] for e in outs[1]]
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_allclose(a[3], b[3], rtol=1e-4, atol=1e-3)
