@@ -70,7 +70,11 @@ def kmeans_fit(frames: jax.Array, mask: jax.Array, n_codes: int,
         onehot = jax.nn.one_hot(assign, n_codes,
                                 dtype=frames.dtype) * maskf      # [W, N, C]
         counts = jnp.sum(onehot, axis=1)                         # [W, C]
-        sums = jnp.einsum("wnc,wnf->wcf", onehot, frames)
+        # f32 MXU precision: bf16 inputs round the centroid sums ~1e-3
+        # relative, so TPU-fitted codebooks would drift from CPU fits
+        # (same fit-precision rule as models/gmm_hmm.py)
+        sums = jnp.einsum("wnc,wnf->wcf", onehot, frames,
+                          precision=jax.lax.Precision.HIGHEST)
         new = sums / jnp.maximum(counts, 1.0)[:, :, None]
         return jnp.where(counts[:, :, None] > 0, new, cb)
 
@@ -88,7 +92,8 @@ def vq_distortion(feats: jax.Array, lengths: jax.Array, codebooks: jax.Array,
     if not squared:
         dmin = jnp.sqrt(dmin)
     tmask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(feats.dtype)
-    num = jnp.einsum("bwt,bt->bw", dmin, tmask)
+    num = jnp.einsum("bwt,bt->bw", dmin, tmask,
+                     precision=jax.lax.Precision.HIGHEST)
     return num / jnp.maximum(lengths, 1).astype(feats.dtype)[:, None]
 
 
