@@ -407,12 +407,15 @@ class CascadeSpotter:
 
     * **Stage 1 — candidate generation** (:class:`HmmSpotter` at a
       permissive LLR floor): per-frame work is O(W·S) elementwise
-      max-plus (~20 fused ops for 5 keywords) vs the full-bank
-      subsequence DTW's O(K·U) (~1.5k cells for 15 one-second
-      templates), so on long streams with sparse keywords the scan is
-      the cheap front.  Labels from stage 1 are IGNORED — only the
-      landmark spans matter, which is exactly why its cross-keyword
-      confusions stop mattering.
+      max-plus vs the full-bank subsequence DTW's O(K·U) cells —
+      22,622 vs 955 audio-s/s/chip measured on-device (docs/PERF.md).
+      End-to-end that margin does NOT survive on short streams (host
+      orchestration + window reranks dominate; the one-pass DTW scan
+      measured 3-5x faster wall clock — docs/RESULTS.md table), so the
+      cascade's measured value is ACCURACY at vocabulary scale, not
+      speed.  Labels from stage 1 are IGNORED — only the landmark
+      spans matter, which is exactly why its cross-keyword confusions
+      stop mattering.
     * **Stage 2 — exact rerank**: each candidate span, widened by
       ``margin`` frames, is cut from the stream's features and matched
       against the WHOLE template bank by the offline subsequence DTW
@@ -512,28 +515,41 @@ class CascadeSpotter:
         if not wins:
             return out
         w_pad = -(-max(len(w) for _, _, _, w in wins) // 32) * 32
-        x = np.zeros((len(wins), w_pad, wins[0][3].shape[1]), np.float32)
-        lens = np.zeros((len(wins),), np.int32)
-        for n, (_, _, _, w) in enumerate(wins):
-            x[n, :len(w)] = w
-            lens[n] = len(w)
-        norm, start = sp.subseq_dtw_batch(
-            jnp.asarray(x), jnp.asarray(lens), bank.feats, bank.length,
-            squared=self.cfg.dtw.squared)
-        norm, start = np.asarray(norm), np.asarray(start)
-        cols = np.arange(norm.shape[2])
-        for n, (i, lo, mid, _) in enumerate(wins):
-            # the rescore must CONTAIN the landmark midpoint — the
-            # window also covers neighboring words, and an unconstrained
-            # argmin would elect a stronger neighbor, collapsing two
-            # occurrences into one after suppression
-            ok = (cols[None, :] >= mid) & (start[n] <= mid)
-            m = np.where(ok, norm[n], sp.BIG)
-            r, j = divmod(int(np.argmin(m)), m.shape[1])
-            if m[r, j] < 0.5 * sp.BIG:
-                out[i].append((self.rec.labels[int(ids[r])],
-                               lo + int(start[n, r, j]), lo + j,
-                               float(m[r, j])))
+        k, u_t = bank.feats.shape[0], bank.feats.shape[1]
+        # cap the [n, K, U_t, W] cost intermediate exactly like
+        # KeywordSpotter.scores — a permissive stage-1 floor on a long
+        # noisy stream can propose hundreds of windows (observed: an
+        # uncapped 24.9 GB HBM compile on 35 keywords x 6 long streams)
+        # 8x the stream budget: windows are short, so per-window cost
+        # slabs are ~40 MB and dispatch latency (not HBM) dominates a
+        # candidate flood — 2 GB of intermediate cuts a 311-window
+        # rerank from 52 dispatches to 7 on a 16 GB chip
+        sub = max(1, 8 * _COST_BUDGET_ELEMS // (k * u_t * w_pad))
+        cols = np.arange(w_pad)
+        for base in range(0, len(wins), sub):
+            part = wins[base:base + sub]
+            x = np.zeros((len(part), w_pad, part[0][3].shape[1]),
+                         np.float32)
+            lens = np.zeros((len(part),), np.int32)
+            for n, (_, _, _, w) in enumerate(part):
+                x[n, :len(w)] = w
+                lens[n] = len(w)
+            norm, start = sp.subseq_dtw_batch(
+                jnp.asarray(x), jnp.asarray(lens), bank.feats,
+                bank.length, squared=self.cfg.dtw.squared)
+            norm, start = np.asarray(norm), np.asarray(start)
+            for n, (i, lo, mid, _) in enumerate(part):
+                # the rescore must CONTAIN the landmark midpoint — the
+                # window also covers neighboring words, and an
+                # unconstrained argmin would elect a stronger neighbor,
+                # collapsing two occurrences into one after suppression
+                ok = (cols[None, :] >= mid) & (start[n] <= mid)
+                m = np.where(ok, norm[n], sp.BIG)
+                r, j = divmod(int(np.argmin(m)), m.shape[1])
+                if m[r, j] < 0.5 * sp.BIG:
+                    out[i].append((self.rec.labels[int(ids[r])],
+                                   lo + int(start[n, r, j]), lo + j,
+                                   float(m[r, j])))
         return out
 
     @staticmethod

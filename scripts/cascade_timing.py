@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--words-per-stream", type=int, default=12)
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--noise", type=float, default=0.003)
+    ap.add_argument("--distractor-weight", type=int, default=1,
+                    help="replicate the distractor classes N times in "
+                         "the draw vocabulary: higher = sparser "
+                         "keywords (the cascade's favorable regime)")
     args = ap.parse_args()
 
     import jax
@@ -63,10 +67,11 @@ def main():
     dtw = KeywordSpotter(brec)
     casc = CascadeSpotter(hrec, brec)
 
+    vocab = keywords + distract * args.distractor_weight
     sigs, truths = [], []
     for i in range(args.streams):
         sig, truth = synth_spotting_stream(
-            keywords, keywords + distract, seed=7000 + i,
+            keywords, vocab, seed=7000 + i,
             n_words=args.words_per_stream, noise=args.noise)
         sigs.append(sig)
         truths.append(truth)
