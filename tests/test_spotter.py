@@ -199,3 +199,33 @@ def test_streaming_no_duplicate_emission(rec):
         events += ss.feed(sig[lo:lo + 1600])
     events += ss.flush(sig[n_full:])
     assert [e[0] for e in events] == ["zero"], events
+
+
+def test_calibrate_threshold_separates_and_matches_default_scale(rec):
+    """The per-bank calibrated threshold must sit strictly between the
+    bank's genuine and impostor score populations, admit the planted
+    keywords of the standard stream, and land in the measured-good
+    window of the 2-keyword bank."""
+    spotter = KeywordSpotter(rec)
+    thr = spotter.calibrate_threshold()
+    sig, spans = _build_stream(WORDS, seed=2)
+    events, = spotter.spot([sig], threshold=thr)
+    truth = _truth_spans(spans)
+    assert [ev[0] for ev in events] == [sp[0] for sp in truth], (thr,
+                                                                 events)
+
+
+def test_calibrate_threshold_requires_pairs():
+    import pytest
+
+    from dsp_tpu.config import PipelineConfig
+
+    r1 = KnnDtwRecognizer(PipelineConfig())
+    r1.enroll("zero", [synth_word("zero", 0)])
+    r1.enroll("one", [synth_word("one", 0)])
+    with pytest.raises(ValueError, match="genuine"):
+        KeywordSpotter(r1).calibrate_threshold()
+    r2 = KnnDtwRecognizer(PipelineConfig())
+    r2.enroll("zero", [synth_word("zero", i) for i in range(2)])
+    with pytest.raises(ValueError, match="labels"):
+        KeywordSpotter(r2).calibrate_threshold()
