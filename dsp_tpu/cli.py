@@ -420,7 +420,16 @@ def _load_spotter(args, cfg):
     rec = KnnDtwRecognizer.load(args.bank, cfg)
     rec.mesh = _maybe_mesh(args)     # --mesh: bank-sharded spot_sharded
     thr = args.threshold if args.threshold is not None else 40.0
-    return KeywordSpotter(rec, threshold=thr), rec
+    spotter = KeywordSpotter(rec, threshold=thr)
+    if getattr(args, "calibrate_threshold", False):
+        if args.threshold is not None:
+            raise SystemExit("give --threshold or --calibrate-threshold,"
+                             " not both")
+        spotter.threshold = spotter.calibrate_threshold()
+        log.info("calibrated spotting threshold: %.1f "
+                 "(per-bank genuine/impostor midpoint)",
+                 spotter.threshold)
+    return spotter, rec
 
 
 def cmd_spot(args):
@@ -1096,6 +1105,11 @@ def main(argv=None):
                         "chunk) instead of the offline batch: SPRING "
                         "DP with --bank, the keyword/filler column "
                         "update with --hmm (cascade is offline-only)")
+    p.add_argument("--calibrate-threshold", action="store_true",
+                   help="DTW spotter only: derive the threshold from "
+                        "the bank itself (genuine/impostor score "
+                        "midpoint — vocabulary-robust where the fixed "
+                        "40 decays; docs/RESULTS.md)")
     p.add_argument("wavs", nargs="+")
     _add_common(p)
     p.set_defaults(fn=cmd_spot)
@@ -1112,6 +1126,9 @@ def main(argv=None):
     p.add_argument("--hmm-threshold", type=float, default=None,
                    help="cascade stage-1 candidate LLR floor")
     p.add_argument("--threshold", type=float, default=None)
+    p.add_argument("--calibrate-threshold", action="store_true",
+                   help="DTW spotter only: per-bank threshold (see "
+                        "`spot --calibrate-threshold`)")
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_spot)
 

@@ -371,6 +371,15 @@ def test_spot_and_evaluate_spot(tmp_path, capsys):
     out = capsys.readouterr().out
     f1 = float(out.rsplit("f1:", 1)[1].split()[0])
     assert f1 >= 0.6
+    # per-bank calibrated threshold must also find the keywords
+    cli.main(["evaluate-spot", "--corpus", spotting, "--bank", bank,
+              "--calibrate-threshold"])
+    out = capsys.readouterr().out
+    f1 = float(out.rsplit("f1:", 1)[1].split()[0])
+    assert f1 >= 0.6
+    with pytest.raises(SystemExit):
+        cli.main(["evaluate-spot", "--corpus", spotting, "--bank", bank,
+                  "--threshold", "30", "--calibrate-threshold"])
     wav = os.path.join(
         spotting, sorted(p for p in os.listdir(spotting)
                          if p.endswith(".wav"))[0])
