@@ -397,6 +397,13 @@ def _load_spotter(args, cfg):
     BOTH -> CascadeSpotter (HMM landmarks propose, DTW reranks)."""
     if not args.bank and not getattr(args, "hmm", None):
         raise SystemExit("spot: give --bank, --hmm, or both (cascade)")
+    if getattr(args, "calibrate_threshold", False) and getattr(args, "hmm",
+                                                               None):
+        # the HMM/cascade thresholds are LLR-scaled, not DTW-distance
+        # scaled; silently handing back the fixed default would let a
+        # user believe a calibrated threshold is in force
+        raise SystemExit("--calibrate-threshold applies to the DTW "
+                         "spotter only (--bank without --hmm)")
     if args.bank and getattr(args, "hmm", None):
         from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
         from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
@@ -444,6 +451,10 @@ def cmd_spot(args):
             raise SystemExit("the cascade spotter is offline-only; "
                              "--stream takes --bank (SPRING DTW) or "
                              "--hmm (keyword/filler column update)")
+        if getattr(args, "calibrate_threshold", False):
+            raise SystemExit("--calibrate-threshold is not wired into "
+                             "--stream; enroll with calibration (the "
+                             "bank stores it) or pass --threshold")
         if getattr(args, "hmm", None):
             from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
             from dsp_tpu.models.spotter import StreamingHmmSpotter
@@ -520,7 +531,9 @@ def cmd_evaluate_spot(args):
                     good = ts <= (s + e) / 2.0 <= te
                 else:
                     ov = min(e, te) - max(s, ts) + 1
-                    good = ov >= 0.5 * (te - ts)
+                    # inclusive span length on both sides: a 1-frame
+                    # truth (ts==te) needs real overlap, not adjacency
+                    good = ov >= 0.5 * (te - ts + 1)
                 if tl == lab and good:
                     best = i
                     break

@@ -136,7 +136,12 @@ class KeywordSpotter:
                     nd = mesh.shape[par.DATA_AXIS]
                     x, b_orig = par.pad_axis_to_multiple(np.asarray(x), nd)
                     n, _ = par.pad_axis_to_multiple(np.asarray(n), nd)
-                    n = np.maximum(n, f.frame_len)
+                    # clamp only the rows pad_axis_to_multiple appended
+                    # (their zero length would make frame-count 0); real
+                    # recordings keep their true lengths so --mesh scores
+                    # match the single-device path bit-for-bit
+                    n = np.concatenate(
+                        [n[:b_orig], np.maximum(n[b_orig:], f.frame_len)])
                 feats = pl.extract_recording_features(
                     jnp.asarray(x), jnp.asarray(n), self.mats, self.cfg,
                     t_max)
