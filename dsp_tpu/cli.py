@@ -240,6 +240,20 @@ def cmd_enroll(args):
     for lab, sigs in sorted(corpus.items()):
         rec.enroll(lab, sigs)
         log.info("enrolled %-8s (%d templates)", lab, len(sigs))
+    if not getattr(args, "no_spot_calibration", False):
+        # per-bank spotting threshold, stored in the checkpoint so
+        # `spot` is vocabulary-robust by default (VERDICT r4 #4: the
+        # fixed 40 silently decays at 35 keywords, F1 0.80 vs 0.91)
+        from dsp_tpu.models.spotter import KeywordSpotter
+        try:
+            rec.spot_threshold = KeywordSpotter(
+                rec, threshold=0.0).calibrate_threshold()
+            log.info("spotting threshold calibrated: %.1f (stored in "
+                     "bank; spot uses it when --threshold is unset)",
+                     rec.spot_threshold)
+        except ValueError as e:
+            log.info("spotting threshold not calibrated (%s); spot "
+                     "falls back to the fixed default", e)
     rec.save(args.bank)
     log.info("bank: %d templates, %d labels -> %s",
              rec.n_templates, len(rec.labels), args.bank)
@@ -410,11 +424,12 @@ def _load_spotter(args, cfg):
         from dsp_tpu.models.spotter import CascadeSpotter
         hrec = GmmHmmRecognizer.load(args.hmm, cfg)
         brec = KnnDtwRecognizer.load(args.bank, cfg)
-        thr = args.threshold if args.threshold is not None else 40.0
         hthr = getattr(args, "hmm_threshold", None)
         sp = CascadeSpotter(
-            hrec, brec, threshold=thr,
+            hrec, brec, threshold=args.threshold,
             **({} if hthr is None else {"hmm_threshold": hthr}))
+        log.info("cascade stage-2 threshold %.1f (%s)", sp.threshold,
+                 sp.threshold_source)
         return sp, brec
     if getattr(args, "hmm", None):
         from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
@@ -426,16 +441,16 @@ def _load_spotter(args, cfg):
     from dsp_tpu.models.spotter import KeywordSpotter
     rec = KnnDtwRecognizer.load(args.bank, cfg)
     rec.mesh = _maybe_mesh(args)     # --mesh: bank-sharded spot_sharded
-    thr = args.threshold if args.threshold is not None else 40.0
-    spotter = KeywordSpotter(rec, threshold=thr)
+    spotter = KeywordSpotter(rec, threshold=args.threshold)
     if getattr(args, "calibrate_threshold", False):
+        # eager recalculation (e.g. an old bank saved without one)
         if args.threshold is not None:
             raise SystemExit("give --threshold or --calibrate-threshold,"
                              " not both")
         spotter.threshold = spotter.calibrate_threshold()
-        log.info("calibrated spotting threshold: %.1f "
-                 "(per-bank genuine/impostor midpoint)",
-                 spotter.threshold)
+        spotter.threshold_source = "recalibrated"
+    log.info("spotting threshold %.1f (%s)", spotter.threshold,
+             spotter.threshold_source)
     return spotter, rec
 
 
@@ -464,7 +479,7 @@ def cmd_spot(args):
         else:
             rec = KnnDtwRecognizer.load(args.bank, cfg)
             mk = lambda thr: StreamingSpotter(rec, threshold=thr)
-            thr = args.threshold if args.threshold is not None else 40.0
+            thr = args.threshold     # None -> bank-calibrated or default
         # online path: feed fixed chunks, emit events as confirmed;
         # the final short chunk goes through flush(tail) so results
         # match the offline spotter on the unpadded signal
@@ -1042,6 +1057,10 @@ def main(argv=None):
     p = sub.add_parser("enroll", help="build a template bank from a corpus")
     p.add_argument("--corpus", required=True)
     p.add_argument("--bank", required=True)
+    p.add_argument("--no-spot-calibration", action="store_true",
+                   help="skip the per-bank spotting-threshold "
+                        "calibration normally stored in the bank "
+                        "(a K x K subsequence-DTW scan at enroll time)")
     _add_common(p)
     p.set_defaults(fn=cmd_enroll)
 
@@ -1156,9 +1175,10 @@ def main(argv=None):
                         "requests (ops/grammar.py docstring format)")
     p.add_argument("--nbest", type=int, default=3,
                    help="hypothesis count for 'nbest <path>' lines")
-    p.add_argument("--spot-threshold", type=float, default=40.0,
-                   help="detection threshold for 'spot <path>' lines "
-                        "(see `spot --threshold`)")
+    p.add_argument("--spot-threshold", type=float, default=None,
+                   help="detection threshold for 'spot <path>' lines; "
+                        "default = the bank's stored calibration, else "
+                        "40 (see `spot --threshold`)")
     _add_common(p)
     p.set_defaults(fn=cmd_serve)
 

@@ -53,6 +53,11 @@ class KnnDtwRecognizer:
         #   mixed-length batches; measured 196 vs 331 utt/s at B=100
         #   on the mostly-long synthetic corpus through the relay)
         self.mats = fe.make_matrices(cfg.frontend)
+        self.spot_threshold: float | None = None   # per-bank calibrated
+        #   spotting threshold (models/spotter.py calibrate_threshold),
+        #   written at enroll time and persisted in the checkpoint; the
+        #   fixed default 40 decays at vocabulary scale (35 keywords:
+        #   F1 0.80 vs 0.91 calibrated — docs/RESULTS.md)
         self.labels: list[str] = []          # label id -> string
         self._bank_feats: list[np.ndarray] = []   # [U_max, F] each
         self._bank_lens: list[int] = []
@@ -463,6 +468,8 @@ class KnnDtwRecognizer:
             ltw_len=self.ltw_len,
             shortlist=self.shortlist,
             bucketed=self.bucketed,
+            spot_threshold=(np.nan if self.spot_threshold is None
+                            else float(self.spot_threshold)),
             frontend=json.dumps(frontend_signature(self.cfg)),
         )
 
@@ -480,6 +487,9 @@ class KnnDtwRecognizer:
         rec._bank_feats = [f for f in data["bank"]]
         rec._bank_lens = [int(v) for v in data["lens"]]
         rec._bank_label_ids = [int(v) for v in data["label_ids"]]
+        if "spot_threshold" in data.files:
+            st = float(data["spot_threshold"])
+            rec.spot_threshold = st if np.isfinite(st) else None
         return rec
 
 

@@ -55,14 +55,36 @@ from dsp_tpu.ops import streaming as st
 # cap on the [B, K, T, U] f32 cost intermediate per device program
 _COST_BUDGET_ELEMS = 64 * 1024 * 1024
 
+# the 5-keyword-matrix threshold; decays at vocabulary scale
+# (docs/RESULTS.md: 35 keywords F1 0.80 fixed vs 0.91 calibrated)
+DEFAULT_SPOT_THRESHOLD = 40.0
+
+
+def resolve_spot_threshold(recognizer, threshold: float | None):
+    """(threshold, source) — explicit value > bank-stored calibration >
+    fixed default.  Shared by the offline and streaming DTW spotters so
+    an enrolled-with-calibration bank is vocabulary-robust by DEFAULT,
+    with ``threshold=...`` as the escape hatch."""
+    if threshold is not None:
+        return float(threshold), "explicit"
+    stored = getattr(recognizer, "spot_threshold", None)
+    if stored is not None:
+        return float(stored), "bank-calibrated"
+    return DEFAULT_SPOT_THRESHOLD, "default"
+
 
 class KeywordSpotter:
     """Offline keyword search: recordings in, spotting events out."""
 
     def __init__(self, recognizer: KnnDtwRecognizer,
-                 threshold: float = 40.0):
+                 threshold: float | None = None):
         self.rec = recognizer
-        self.threshold = threshold
+        # threshold resolution: explicit flag > per-bank calibrated value
+        # stored in the checkpoint (knn_dtw.spot_threshold, written at
+        # enroll) > fixed default 40 (the 5-keyword-matrix value; decays
+        # at vocabulary scale — docs/RESULTS.md)
+        self.threshold, self.threshold_source = resolve_spot_threshold(
+            recognizer, threshold)
         # spotting consumes the WHOLE recording: no VAD trim
         self.cfg: PipelineConfig = dataclasses.replace(
             recognizer.cfg, use_vad=False)
@@ -371,11 +393,16 @@ class StreamingSpotter(_StreamingSpotterBase):
     the feed/flush/confirmation contract."""
 
     def __init__(self, recognizer: KnnDtwRecognizer, chunk_len: int = 1600,
-                 threshold: float = 40.0, hangover: int = 25):
+                 threshold: float | None = None, hangover: int = 25):
         bank, ids = recognizer.device_bank()
         self._bank = bank
         self._ids = np.asarray(ids)
-        super().__init__(recognizer, chunk_len, threshold, hangover)
+        # same resolution as the offline spotter: explicit > bank-stored
+        # calibration > fixed default (streaming gets calibrated
+        # thresholds for free once the bank was enrolled with one)
+        thr, self.threshold_source = resolve_spot_threshold(
+            recognizer, threshold)
+        super().__init__(recognizer, chunk_len, thr, hangover)
 
     def _dp_reset(self) -> None:
         k, t = self._bank.feats.shape[0], self._bank.feats.shape[1]
@@ -486,7 +513,8 @@ class CascadeSpotter:
     """
 
     def __init__(self, hmm_recognizer, bank_recognizer,
-                 threshold: float = 40.0, hmm_threshold: float = -45.0,
+                 threshold: float | None = None,
+                 hmm_threshold: float = -45.0,
                  margin: int = 12, cand_min_gap: int = 25):
         fh, fb = hmm_recognizer.cfg.frontend, bank_recognizer.cfg.frontend
         if (fh.sample_rate, fh.frame_len, fh.hop_len) != \
@@ -499,7 +527,10 @@ class CascadeSpotter:
         self.stage1 = HmmSpotter(hmm_recognizer, threshold=hmm_threshold,
                                  min_gap=cand_min_gap)
         self.rec = bank_recognizer
-        self.threshold = threshold
+        # stage-2 scores are span-normalised DTW distances — the same
+        # scale the bank-stored calibration targets
+        self.threshold, self.threshold_source = resolve_spot_threshold(
+            bank_recognizer, threshold)
         self.hmm_threshold = hmm_threshold
         self.margin = margin
         self.cfg = dataclasses.replace(bank_recognizer.cfg, use_vad=False)

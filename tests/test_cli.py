@@ -386,6 +386,21 @@ def test_spot_and_evaluate_spot(tmp_path, capsys):
     cli.main(["spot", "--bank", bank, "--threshold", "30", wav])
     out = capsys.readouterr().out
     assert wav in out
+    # enroll stored a calibrated threshold in the bank (default-on), and
+    # evaluate-spot with NO threshold flag picks it up — F1 must match
+    # the eager --calibrate-threshold run above
+    from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
+    stored = KnnDtwRecognizer.load(bank).spot_threshold
+    assert stored is not None and 10.0 < stored < 60.0
+    cli.main(["evaluate-spot", "--corpus", spotting, "--bank", bank])
+    out = capsys.readouterr().out
+    assert f"threshold: {stored}" in out
+    assert float(out.rsplit("f1:", 1)[1].split()[0]) == f1
+    # the escape hatch: --no-spot-calibration leaves the bank unstamped
+    bank2 = str(tmp_path / "bank2.npz")
+    cli.main(["enroll", "--corpus", os.path.join(d, "train"),
+              "--bank", bank2, "--no-spot-calibration"])
+    assert KnnDtwRecognizer.load(bank2).spot_threshold is None
 
 
 def test_spot_hmm_family(tmp_path, capsys):

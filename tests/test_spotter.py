@@ -229,3 +229,35 @@ def test_calibrate_threshold_requires_pairs():
     r2.enroll("zero", [synth_word("zero", i) for i in range(2)])
     with pytest.raises(ValueError, match="labels"):
         KeywordSpotter(r2).calibrate_threshold()
+
+
+def test_threshold_resolution_order(rec, tmp_path):
+    """Explicit threshold > bank-stored calibration > fixed default 40,
+    and the stored calibration survives a checkpoint round trip."""
+    from dsp_tpu.models.spotter import DEFAULT_SPOT_THRESHOLD
+
+    assert rec.spot_threshold is None
+    sp0 = KeywordSpotter(rec)
+    assert sp0.threshold == DEFAULT_SPOT_THRESHOLD
+    assert sp0.threshold_source == "default"
+
+    rec.spot_threshold = 33.5
+    sp1 = KeywordSpotter(rec)
+    assert sp1.threshold == 33.5
+    assert sp1.threshold_source == "bank-calibrated"
+    ss = StreamingSpotter(rec)
+    assert ss.threshold == 33.5
+    assert ss.threshold_source == "bank-calibrated"
+
+    sp2 = KeywordSpotter(rec, threshold=41.0)
+    assert sp2.threshold == 41.0
+    assert sp2.threshold_source == "explicit"
+
+    path = str(tmp_path / "bank.npz")
+    rec.save(path)
+    reloaded = KnnDtwRecognizer.load(path, rec.cfg)
+    assert reloaded.spot_threshold == pytest.approx(33.5)
+    # a pre-calibration checkpoint (or one saved with None) stays None
+    rec.spot_threshold = None
+    rec.save(path)
+    assert KnnDtwRecognizer.load(path, rec.cfg).spot_threshold is None
