@@ -19,7 +19,14 @@ retried, resuming warm from the persistent cache (utils/relay.py, the
 mechanism that kept MULTICHIP_r03 green through the same outage).
 
 Env knobs: BENCH_UTTS (default 1024), BENCH_TEMPLATES (100),
-BENCH_CHUNK (256), BENCH_PASSES (5, value = median), BENCH_PRECISION
+BENCH_CHUNK (256), BENCH_DISPATCH ("chunked" = one async dispatch per
+chunk, the default; "single" = the whole chain as ONE jit program
+scanning the chunk axis — a round-5 NEGATIVE result: it measured 569k
+vs chunked 597k on the v5e.  fe_profile showed ~7 ms dispatch overhead
+per program, but the async per-chunk loop already hides it — the host
+enqueues chunk c+1 while c runs — whereas the lax.scan body serializes
+on reused buffers and loses that overlap.  Kept as a measured mode),
+BENCH_PASSES (5, value = median), BENCH_PRECISION
 (default|highest), BENCH_SLOPE ("" = shipped default | "itakura" — the
 slope-constrained matcher, ~1.4x faster with different alignment
 semantics).  Hardening knobs: BENCH_HARDENED (1; 0 = legacy in-process
@@ -137,8 +144,31 @@ def _bench_body():
                                        bank, ids_d, cfg, precision)
         return labels
 
+    dispatch_mode = os.environ.get("BENCH_DISPATCH", "chunked")
+    if dispatch_mode == "single":
+        stacked = jnp.stack(chunks)                # [n_chunks, chunk, N]
+
+    @jax.jit
+    def chain_step(all_sigs, n_samples, token):
+        # the WHOLE chain as one XLA program: an internal scan walks the
+        # chunk axis, so per-chunk HBM intermediates stay bounded (the
+        # scan body reuses buffers) while the host pays ONE dispatch.
+        # Measured SLOWER than the chunked loop (569k vs 597k, round 5,
+        # v5e): async dispatch already overlaps the ~7 ms per-program
+        # launch latency, and the scan loses that pipelining.  Kept as
+        # BENCH_DISPATCH=single for re-measurement, not the default.
+        def body(tok, sigs):
+            labels, _ = pl.recognize_batch(sigs + tok, n_samples, mats,
+                                           bank, ids_d, cfg, precision)
+            return (labels[0] * 0).astype(jnp.float32), labels[0]
+        _, firsts = jax.lax.scan(body, token, all_sigs)
+        return firsts
+
     def run_chain():
         token = jnp.asarray(0.0, jnp.float32)
+        if dispatch_mode == "single":
+            firsts = chain_step(stacked, qn, token)
+            return np.asarray(firsts[-1])  # one tiny fetch = barrier
         labels = None
         for c in range(n_chunks):
             labels = step(chunks[c], qn, token)
