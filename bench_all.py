@@ -212,19 +212,34 @@ def main():
                "100-template bank)")
 
     # ---- bonus: keyword spotting (subsequence DTW) --------------------------
-    from dsp_tpu.ops.spot import subseq_dtw_batch_impl
+    # `spot` = the production routing (subseq_dtw_batch impl="auto":
+    # fused Pallas kernel on TPU since round 5, XLA scan elsewhere);
+    # `spot-scan` = the XLA row scan, kept as the kernel's comparison row
+    from dsp_tpu.ops.spot import subseq_dtw_batch, subseq_dtw_batch_impl
 
     @jax.jit
     def spot_step(f, token):
-        norm, _ = subseq_dtw_batch_impl(token_mix(f, token),
-                                        conn_feats.length,
-                                        bank100.feats, bank100.length)
+        norm, _ = subseq_dtw_batch(token_mix(f, token),
+                                   conn_feats.length,
+                                   bank100.feats, bank100.length)
         return norm
 
     audio_s = float(np.sum(clens)) / cfg.frontend.sample_rate
     timed(spot_step, (conn_feats.feats,), 4, audio_s, config="spot",
           metric="spotting_audio_seconds_per_sec_per_chip",
-          unit="audio-s/s/chip (100-template subsequence scan, witnesses)")
+          unit="audio-s/s/chip (100-template subsequence match, witnesses, "
+               "production routing)")
+
+    @jax.jit
+    def spot_scan_step(f, token):
+        norm, _ = subseq_dtw_batch_impl(token_mix(f, token),
+                                        conn_feats.length,
+                                        bank100.feats, bank100.length)
+        return norm
+
+    timed(spot_scan_step, (conn_feats.feats,), 4, audio_s, config="spot-scan",
+          metric="spotting_scan_audio_seconds_per_sec_per_chip",
+          unit="audio-s/s/chip (100-template subsequence XLA row scan)")
 
     # ---- bonus: HMM spotting scan (cascade stage 1) --------------------------
     # the parametric keyword/filler scan over the same streams: O(W*S)

@@ -141,17 +141,37 @@ def subseq_dtw_batch_impl(streams: jax.Array, stream_lens: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("squared", "precision"))
+def _subseq_dtw_batch_scan(streams: jax.Array, stream_lens: jax.Array,
+                           bank: jax.Array, bank_lens: jax.Array,
+                           squared: bool = False,
+                           precision=jax.lax.Precision.HIGHEST):
+    return subseq_dtw_batch_impl(streams, stream_lens, bank, bank_lens,
+                                 squared, precision)
+
+
 def subseq_dtw_batch(streams: jax.Array, stream_lens: jax.Array,
                      bank: jax.Array, bank_lens: jax.Array,
                      squared: bool = False,
-                     precision=jax.lax.Precision.HIGHEST):
+                     precision=jax.lax.Precision.HIGHEST,
+                     impl: str = "auto"):
     """Spot every bank template in every stream.
 
     streams [B,U,F], bank [K,T,F] -> (norm [B,K,U], start [B,K,U]).
     The B*K cost GEMMs batch on the MXU; the row scan is shared.
+
+    ``impl="auto"`` routes through the fused Pallas kernel on TPU
+    (kernels/spot_fused.py — same values, same witnesses; the row DP
+    runs in VMEM instead of one XLA scan step per template row) and
+    the XLA scan elsewhere; "scan" / "fused" force a path.
     """
-    return subseq_dtw_batch_impl(streams, stream_lens, bank, bank_lens,
-                                 squared, precision)
+    if impl == "auto":
+        impl = "fused" if jax.default_backend() == "tpu" else "scan"
+    if impl == "fused":
+        from dsp_tpu.kernels.spot_fused import subseq_dtw_fused
+        return subseq_dtw_fused(streams, stream_lens, bank, bank_lens,
+                                squared=squared)
+    return _subseq_dtw_batch_scan(streams, stream_lens, bank, bank_lens,
+                                  squared, precision)
 
 
 # ---------------------------------------------------------------- streaming
@@ -229,6 +249,46 @@ def spot_chunk(state: SpotState, chunk: jax.Array, n_valid: jax.Array,
         (cost_cols, valid))
     return (SpotState(d_col, s_col, n_fed),
             jnp.moveaxis(norms, 0, 1), jnp.moveaxis(starts, 0, 1))
+
+
+def production_impl() -> str:
+    """The impl ``subseq_dtw_batch(impl="auto")`` resolves to on this
+    backend — callers use it to pick sub-batching budgets (the scan
+    materialises a [B,K,T,U] HBM cost intermediate; the fused kernel
+    keeps cost in VMEM, so only the [B,K,U] outputs bound a batch)."""
+    return "fused" if jax.default_backend() == "tpu" else "scan"
+
+
+@functools.partial(jax.jit, static_argnames=("squared",))
+def rerank_windows(wins: jax.Array, win_lens: jax.Array, mids: jax.Array,
+                   bank: jax.Array, bank_lens: jax.Array,
+                   squared: bool = False):
+    """Cascade stage-2 rerank, argmin ON DEVICE (VERDICT r4 #2).
+
+    wins [N,W,F] candidate windows, mids [N] landmark midpoints (window
+    frames).  Each window is matched against the whole bank; the best
+    (template, end-column) must CONTAIN the landmark midpoint
+    (start <= mid <= end — an unconstrained argmin elects a stronger
+    NEIGHBORING word, docs/RESULTS.md).  Returns per window
+    (row [N], end [N], start [N], score [N]) — a few KB fetched instead
+    of the full [N,K,W] norm/start fields (two host-side reductions
+    and tens of MB through the relay in the round-4 cascade).
+    """
+    norm, start = subseq_dtw_batch(wins, win_lens, bank, bank_lens,
+                                   squared=squared)          # [N,K,W]
+    n, k, w = norm.shape
+    cols = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    mid3 = mids[:, None, None]
+    ok = (cols.astype(mids.dtype) >= mid3) & (start.astype(mids.dtype)
+                                              <= mid3)
+    m = jnp.where(ok, norm, BIG)
+    flat = m.reshape(n, k * w)
+    idx = jnp.argmin(flat, axis=1).astype(jnp.int32)         # first-min,
+    r, j = idx // w, idx % w                                 # host order
+    score = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    s = jnp.take_along_axis(start.reshape(n, k * w), idx[:, None],
+                            axis=1)[:, 0]
+    return r, j, s, score
 
 
 # ------------------------------------------------------------- host events
