@@ -53,7 +53,17 @@ from dsp_tpu.ops import spot as sp
 from dsp_tpu.ops import streaming as st
 
 # cap on the [B, K, T, U] f32 cost intermediate per device program
+# (the XLA-scan path; the fused kernel keeps cost in VMEM and is
+# bounded only by its [B, K, U] outputs — _OUT_BUDGET_ELEMS below)
 _COST_BUDGET_ELEMS = 64 * 1024 * 1024
+_OUT_BUDGET_ELEMS = 16 * 1024 * 1024
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 # the 5-keyword-matrix threshold; decays at vocabulary scale
 # (docs/RESULTS.md: 35 keywords F1 0.80 fixed vs 0.91 calibrated)
@@ -148,7 +158,14 @@ class KeywordSpotter:
         mesh = self.rec.mesh
         for pad_len, idxs in groups.items():
             t_max = max(1, 1 + (pad_len - f.frame_len) // f.hop_len)
-            sub = max(1, _COST_BUDGET_ELEMS // (k * u_t * t_max))
+            if mesh is None and sp.production_impl() == "fused":
+                # fused kernel: no HBM cost intermediate; only the
+                # [B, K, T] norm/start outputs bound the batch — on TPU
+                # a typical 8-stream call is ONE dispatch (round 4 paid
+                # one per stream at 16 s recordings)
+                sub = max(1, _OUT_BUDGET_ELEMS // (k * t_max))
+            else:
+                sub = max(1, _COST_BUDGET_ELEMS // (k * u_t * t_max))
             for lo in range(0, len(idxs), sub):
                 part = idxs[lo:lo + sub]
                 x, n = pl.pad_signals([signals[i] for i in part], pad_len)
@@ -540,38 +557,31 @@ class CascadeSpotter:
         f = self.cfg.frontend
         return frame * f.hop_len / f.sample_rate
 
-    def _stream_feats(self, signals):
-        """Per-stream bank-config feature matrices (host numpy,
-        [T_i, F]) — stage 2's own front-end pass (stage 1 extracts with
-        the HMM config; the two may differ in cmn/deltas/type)."""
-        f = self.cfg.frontend
-        groups = pl.group_by_padded_len(signals, self.cfg.max_samples)
-        out: dict = {}
-        for pad_len, idxs in groups.items():
-            t_max = max(1, 1 + (pad_len - f.frame_len) // f.hop_len)
-            x, n = pl.pad_signals([signals[i] for i in idxs], pad_len)
-            feats = pl.extract_recording_features(
-                jnp.asarray(x), jnp.asarray(n), self.mats, self.cfg,
-                t_max)
-            fh = np.asarray(feats.feats)
-            lens = np.asarray(feats.length)
-            for row, i in enumerate(idxs):
-                out[i] = fh[row, :int(lens[row])]
-        return [out[i] for i in range(len(signals))]
-
     def rescored(self, signals):
         """Stage-1 candidates rescored by the bank: per-stream lists of
         ``(label, start_frame, end_frame, dtw_score)`` — UNfiltered and
         UNsuppressed (every candidate window yields its best bank
         match), so an eval harness can sweep ``threshold`` without
-        re-running either stage."""
+        re-running either stage.
+
+        Round-5 orchestration (VERDICT r4 #2 — the round-4 cascade lost
+        its 23.7x stage-1 device margin to host round-trips): ONE
+        front-end pass feeds BOTH stages when their frontend configs
+        match (the default — stage 1 re-extracted identical features in
+        round 4); the rerank runs through the fused subsequence kernel
+        with the constrained argmin ON DEVICE
+        (ops/spot.py:rerank_windows), fetching 4 scalars per window
+        instead of the full [N, K, W] score fields; and rerank batches
+        are padded to ONE quantised shape so a candidate flood cannot
+        trigger per-count recompiles."""
         out = [[] for _ in signals]
         if not len(signals):
             return out
-        cands = self.stage1.spot(signals, threshold=self.hmm_threshold)
-        if not any(cands):
-            return out
-        feats = self._stream_feats(signals)
+        from dsp_tpu.ops.spot_hmm import spot_hmm_batch
+
+        params, ubm = self.stage1._models_for(signals)
+        same_fe = self.stage1.cfg.frontend == self.cfg.frontend
+        f = self.cfg.frontend
         bank, ids = self.rec.device_bank()
         ids = np.asarray(ids)
         # a landmark is a few frames at a word's high-contrast CORE, so
@@ -579,53 +589,72 @@ class CascadeSpotter:
         # before it and end as far after: extend by the bank's longest
         # template (+ margin slack) on each side
         ext = int(np.max(np.asarray(bank.length))) + self.margin
+
         wins = []                        # (stream idx, lo, mid, rows)
-        for i, evs in enumerate(cands):
-            t_i = len(feats[i])
-            for _lab, s, e, _llr in evs:
-                lo = max(0, s - ext)
-                hi = min(t_i, e + 1 + ext)
-                if hi - lo >= 2:
-                    wins.append((i, lo, (s + e) / 2.0 - lo,
-                                 feats[i][lo:hi]))
+        groups = pl.group_by_padded_len(signals, self.cfg.max_samples)
+        for pad_len, idxs in groups.items():
+            t_max = max(1, 1 + (pad_len - f.frame_len) // f.hop_len)
+            x, n = pl.pad_signals([signals[i] for i in idxs], pad_len)
+            xd, nd = jnp.asarray(x), jnp.asarray(n)
+            feats = pl.extract_recording_features(xd, nd, self.mats,
+                                                  self.cfg, t_max)
+            s1 = feats if same_fe else pl.extract_recording_features(
+                xd, nd, self.stage1.mats, self.stage1.cfg, t_max)
+            llr, start = spot_hmm_batch(s1.feats, s1.length, params, ubm)
+            llr, start = np.asarray(llr), np.asarray(start)
+            fh, lens = np.asarray(feats.feats), np.asarray(feats.length)
+            for row, i in enumerate(idxs):
+                t_i = int(lens[row])
+                evs = sp.extract_events(-llr[row, :, :t_i],
+                                        start[row, :, :t_i],
+                                        -self.hmm_threshold,
+                                        min_gap=self.stage1.min_gap)
+                for _r, s, e, _neg in evs:
+                    lo = max(0, s - ext)
+                    hi = min(t_i, e + 1 + ext)
+                    if hi - lo >= 2:
+                        wins.append((i, lo, (s + e) / 2.0 - lo,
+                                     fh[row, lo:hi]))
         if not wins:
             return out
         w_pad = -(-max(len(w) for _, _, _, w in wins) // 32) * 32
         k, u_t = bank.feats.shape[0], bank.feats.shape[1]
-        # cap the [n, K, U_t, W] cost intermediate exactly like
-        # KeywordSpotter.scores — a permissive stage-1 floor on a long
-        # noisy stream can propose hundreds of windows (observed: an
-        # uncapped 24.9 GB HBM compile on 35 keywords x 6 long streams)
-        # 8x the stream budget: windows are short, so per-window cost
-        # slabs are ~40 MB and dispatch latency (not HBM) dominates a
-        # candidate flood — 2 GB of intermediate cuts a 311-window
-        # rerank from 52 dispatches to 7 on a 16 GB chip
-        sub = max(1, 8 * _COST_BUDGET_ELEMS // (k * u_t * w_pad))
-        cols = np.arange(w_pad)
-        for base in range(0, len(wins), sub):
-            part = wins[base:base + sub]
-            x = np.zeros((len(part), w_pad, part[0][3].shape[1]),
-                         np.float32)
-            lens = np.zeros((len(part),), np.int32)
-            for n, (_, _, _, w) in enumerate(part):
+        if sp.production_impl() == "fused":
+            # no HBM cost intermediate; the [N, K, W] norm/start
+            # outputs (device-reduced before fetch) bound the batch
+            sub = max(1, _OUT_BUDGET_ELEMS // (k * w_pad))
+        else:
+            # cap the [n, K, U_t, W] scan cost intermediate (observed:
+            # an uncapped 24.9 GB HBM compile on 35 keywords x 6 long
+            # streams); 8x the stream budget — windows are short
+            sub = max(1, 8 * _COST_BUDGET_ELEMS // (k * u_t * w_pad))
+        # one padded row count per (w_pad, n_rows) — full parts share a
+        # shape, the tail pads up, so window count never drives compiles
+        n_rows = min(sub, _next_pow2(max(8, len(wins))))
+        n_f = wins[0][3].shape[1]
+        for base in range(0, len(wins), n_rows):
+            part = wins[base:base + n_rows]
+            x = np.zeros((n_rows, w_pad, n_f), np.float32)
+            lens = np.ones((n_rows,), np.int32)
+            mids = np.zeros((n_rows,), np.float32)
+            for n, (_, _, mid, w) in enumerate(part):
                 x[n, :len(w)] = w
                 lens[n] = len(w)
-            norm, start = sp.subseq_dtw_batch(
-                jnp.asarray(x), jnp.asarray(lens), bank.feats,
-                bank.length, squared=self.cfg.dtw.squared)
-            norm, start = np.asarray(norm), np.asarray(start)
-            for n, (i, lo, mid, _) in enumerate(part):
-                # the rescore must CONTAIN the landmark midpoint — the
-                # window also covers neighboring words, and an
-                # unconstrained argmin would elect a stronger neighbor,
-                # collapsing two occurrences into one after suppression
-                ok = (cols[None, :] >= mid) & (start[n] <= mid)
-                m = np.where(ok, norm[n], sp.BIG)
-                r, j = divmod(int(np.argmin(m)), m.shape[1])
-                if m[r, j] < 0.5 * sp.BIG:
-                    out[i].append((self.rec.labels[int(ids[r])],
-                                   lo + int(start[n, r, j]), lo + j,
-                                   float(m[r, j])))
+                mids[n] = mid
+            # the rescore must CONTAIN the landmark midpoint — the
+            # window also covers neighboring words, and an
+            # unconstrained argmin would elect a stronger neighbor,
+            # collapsing two occurrences into one after suppression
+            r, j, s, score = sp.rerank_windows(
+                jnp.asarray(x), jnp.asarray(lens), jnp.asarray(mids),
+                bank.feats, bank.length, squared=self.cfg.dtw.squared)
+            r, j, s, score = (np.asarray(r), np.asarray(j),
+                              np.asarray(s), np.asarray(score))
+            for n, (i, lo, _mid, _) in enumerate(part):
+                if score[n] < 0.5 * sp.BIG:
+                    out[i].append((self.rec.labels[int(ids[r[n]])],
+                                   lo + int(s[n]), lo + int(j[n]),
+                                   float(score[n])))
         return out
 
     @staticmethod
