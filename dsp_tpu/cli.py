@@ -25,7 +25,8 @@ import sys
 
 import numpy as np
 
-from dsp_tpu.config import DtwConfig, FrontendConfig, HmmConfig, PipelineConfig
+from dsp_tpu.config import (DtwConfig, FrontendConfig, HmmConfig,
+                            PipelineConfig, VadConfig)
 from dsp_tpu.utils.logging import RunMetrics, get_logger
 
 log = get_logger("dsp_tpu.cli")
@@ -48,6 +49,7 @@ def _pipeline_cfg(args) -> PipelineConfig:
     dtw = DtwConfig(band_frac=band, impl=args.dtw_impl, slope=slope)
     return PipelineConfig(
         frontend=fe, dtw=dtw,
+        vad=VadConfig(threshold_mode=args.vad_mode),
         max_samples=args.max_samples,
         use_vad=not args.no_vad,
     )
@@ -70,6 +72,14 @@ def _add_common(p: argparse.ArgumentParser):
                         "frames)")
     p.add_argument("--lpc-order", type=int, default=12)
     p.add_argument("--no-vad", action="store_true")
+    p.add_argument("--vad-mode", choices=["noise_mult", "two_pass"],
+                   default=VadConfig.threshold_mode,
+                   help="endpoint threshold rule: 'noise_mult' = "
+                        "head-frame noise estimate x multiplier (the "
+                        "classical rule); 'two_pass' = whole-utterance "
+                        "floor/ceiling interpolation — SNR-adaptive, "
+                        "recovers speech at ~0 dB where TH=4x noise "
+                        "never fires (offline only)")
     p.add_argument("--band", type=float, default=DtwConfig.band_frac,
                    help="Sakoe-Chiba band fraction (0 or negative = "
                         f"unbanded; default {DtwConfig.band_frac})")

@@ -98,6 +98,27 @@ class VadConfig:
     # (0.164 vs 0.257), where both settings are below usable anyway.
     e_high_mult: float = 4.0
     e_low_mult: float = 1.5
+    # Threshold rule (round 5, VERDICT r4 #5 — the hostile-0dB remedy).
+    # "noise_mult": TH/TL = noise_mean * mult (head-frame noise
+    # estimate; the classical rule above).  Its 0 dB failure mode is
+    # structural: with stationary noise at 0 dB SNR, speech-plus-noise
+    # frames carry only ~2x the noise-floor energy, so TH = 4x noise
+    # can NEVER fire and the detector falls back to the whole padded
+    # recording.  "two_pass": estimate the floor from the WHOLE
+    # utterance (mean of the lowest tp_floor_frac fraction of frame
+    # energies) and the speech ceiling (energy quantile tp_ceil_q),
+    # then interpolate: TH = floor + tp_high*(ceil - floor), TL =
+    # floor + tp_low*(ceil - floor) — SNR-adaptive by construction.
+    # Guard: when ceil < tp_min_contrast * floor the field has no
+    # speech-like contrast (pure noise reads ~1.2x) and the rule falls
+    # back to the noise_mult thresholds, which correctly find nothing.
+    # Offline only (the causal streaming detector keeps noise_mult).
+    threshold_mode: str = "noise_mult"   # | "two_pass"
+    tp_floor_frac: float = 0.2
+    tp_ceil_q: float = 0.95
+    tp_high: float = 0.25
+    tp_low: float = 0.10
+    tp_min_contrast: float = 2.0
     e_abs_floor: float = 1e-6      # absolute energy floor added to noise mean
     zcr_mult: float = 2.0          # zcr_thresh = noise_zcr_mean * zcr_mult
     min_speech_frames: int = 5

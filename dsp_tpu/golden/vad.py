@@ -48,6 +48,44 @@ def zero_crossing_rate(frames: np.ndarray) -> np.ndarray:
     return np.sum(s[..., 1:] != s[..., :-1], axis=-1).astype(np.float64)
 
 
+def thresholds(e: np.ndarray, z: np.ndarray, vcfg: VadConfig):
+    """(TH, TL, ZT) shared by both detectors — the loop spec of
+    ops/vad.py:_noise_thresholds.
+
+    ``noise_mult``: the classical head-frame rule (module docstring
+    step 2).  ``two_pass`` (round 5, the hostile-0dB remedy — see
+    config.py:VadConfig): floor = mean of the lowest ``tp_floor_frac``
+    fraction of frame energies over the WHOLE utterance, ceil = the
+    ``tp_ceil_q`` energy quantile (nearest-rank on the sorted array,
+    index floor(q*(n-1))); TH/TL interpolate between them, falling back
+    to noise_mult when ceil < tp_min_contrast * floor (no speech-like
+    contrast — pure stationary noise reads ~1.2x).
+    """
+    n = len(e)
+    n_init = min(vcfg.n_init, n)
+    e_noise = float(np.mean(e[:n_init])) + vcfg.e_abs_floor
+    z_noise = float(np.mean(z[:n_init]))
+    th = e_noise * vcfg.e_high_mult
+    tl = e_noise * vcfg.e_low_mult
+    zt = z_noise * vcfg.zcr_mult + ZCR_ABS_FLOOR
+    if vcfg.threshold_mode == "two_pass":
+        e_sorted = np.sort(e)
+        # rank indices in integer-percent arithmetic so the traced JAX
+        # mirror (f32 scalars) lands on the SAME frame bit-for-bit
+        fp = round(vcfg.tp_floor_frac * 100)
+        cq = round(vcfg.tp_ceil_q * 100)
+        k = max(1, (fp * n + 99) // 100)             # ceil(frac * n)
+        floor = float(np.mean(e_sorted[:k])) + vcfg.e_abs_floor
+        ceil = float(e_sorted[(cq * (n - 1)) // 100])
+        if ceil >= vcfg.tp_min_contrast * floor:
+            th = floor + vcfg.tp_high * (ceil - floor)
+            tl = floor + vcfg.tp_low * (ceil - floor)
+    elif vcfg.threshold_mode != "noise_mult":
+        raise ValueError(
+            f"unknown VadConfig.threshold_mode {vcfg.threshold_mode!r}")
+    return th, tl, zt
+
+
 def detect_endpoints(
     x: np.ndarray,
     fcfg: FrontendConfig = FrontendConfig(),
@@ -64,13 +102,7 @@ def detect_endpoints(
         return 0, 0, False
     e = short_time_energy(frames)
     z = zero_crossing_rate(frames)
-
-    n_init = min(vcfg.n_init, n)
-    e_noise = float(np.mean(e[:n_init])) + vcfg.e_abs_floor
-    z_noise = float(np.mean(z[:n_init]))
-    th = e_noise * vcfg.e_high_mult
-    tl = e_noise * vcfg.e_low_mult
-    zt = z_noise * vcfg.zcr_mult + ZCR_ABS_FLOOR
+    th, tl, zt = thresholds(e, z, vcfg)
 
     high = e > th
     # first / last run of min_speech_frames consecutive high frames
@@ -151,12 +183,7 @@ def detect_segments_frames(
     if n == 0:
         return []
 
-    n_init = min(vcfg.n_init, n)
-    e_noise = float(np.mean(e[:n_init])) + vcfg.e_abs_floor
-    z_noise = float(np.mean(z[:n_init]))
-    th = e_noise * vcfg.e_high_mult
-    tl = e_noise * vcfg.e_low_mult
-    zt = z_noise * vcfg.zcr_mult + ZCR_ABS_FLOOR
+    th, tl, zt = thresholds(e, z, vcfg)
 
     high = e > th
     audible = (e > tl) | (z > zt)

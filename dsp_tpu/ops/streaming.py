@@ -122,7 +122,16 @@ def init_state(cfg: FrontendConfig, chunk_len: int) -> StreamState:
 
 
 def _vad_step(vcfg: VadConfig, n_init: int):
-    """Per-frame VAD transition for lax.scan; state is the tail of StreamState."""
+    """Per-frame VAD transition for lax.scan; state is the tail of StreamState.
+
+    Always the causal noise_mult rule: ``two_pass`` thresholds need the
+    WHOLE utterance's energy distribution (config.py:VadConfig), which a
+    causal detector cannot see — warned once, then ignored here."""
+    if vcfg.threshold_mode == "two_pass":
+        from dsp_tpu.utils.logging import warn_once
+        warn_once("stream-two-pass",
+                  "two_pass VAD thresholds are offline-only; the "
+                  "streaming detector keeps the causal noise_mult rule")
 
     def step(carry, inp):
         (state, ne, nz, nn, rh, rl, ra, us) = carry

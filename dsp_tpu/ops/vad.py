@@ -48,7 +48,10 @@ def _run_starting_at(flag: jax.Array) -> jax.Array:
 
 def _noise_thresholds(e: jax.Array, z: jax.Array, length: jax.Array,
                       vcfg: VadConfig):
-    """Shared threshold computation -> (th, tl, zt, valid, idx)."""
+    """Shared threshold computation -> (th, tl, zt, valid, idx).
+
+    Mirrors golden/vad.py:thresholds exactly, incl. the ``two_pass``
+    mode's integer-percent rank arithmetic (config.py:VadConfig)."""
     t = e.shape[-1]
     idx = jnp.arange(t)
     valid = idx < length
@@ -61,6 +64,20 @@ def _noise_thresholds(e: jax.Array, z: jax.Array, length: jax.Array,
     th = e_noise * vcfg.e_high_mult
     tl = e_noise * vcfg.e_low_mult
     zt = z_noise * vcfg.zcr_mult + ZCR_ABS_FLOOR
+    if vcfg.threshold_mode == "two_pass":
+        fp = round(vcfg.tp_floor_frac * 100)
+        cq = round(vcfg.tp_ceil_q * 100)
+        e_sorted = jnp.sort(jnp.where(valid, e, jnp.inf))    # valid first
+        k = jnp.maximum(1, (fp * length + 99) // 100)        # ceil(frac*n)
+        floor = (jnp.sum(jnp.where(idx < k, e_sorted, 0.0))
+                 / k.astype(e.dtype)) + vcfg.e_abs_floor
+        ceil = e_sorted[(cq * (length - 1)) // 100]
+        use = ceil >= vcfg.tp_min_contrast * floor
+        th = jnp.where(use, floor + vcfg.tp_high * (ceil - floor), th)
+        tl = jnp.where(use, floor + vcfg.tp_low * (ceil - floor), tl)
+    elif vcfg.threshold_mode != "noise_mult":
+        raise ValueError(
+            f"unknown VadConfig.threshold_mode {vcfg.threshold_mode!r}")
     return th, tl, zt, valid, idx
 
 
