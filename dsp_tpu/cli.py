@@ -40,6 +40,8 @@ def _pipeline_cfg(args) -> PipelineConfig:
         add_deltas=not args.no_deltas,
         use_energy=args.use_energy,
         cmn=args.cmn,
+        cmn_mode=args.cmn_mode,
+        cmn_alpha=args.cmn_alpha,
         feature_type=args.features,
         lpc_order=args.lpc_order,
         denoise=None if args.denoise == "none" else args.denoise,
@@ -64,6 +66,16 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--use-energy", action="store_true")
     p.add_argument("--cmn", action="store_true",
                    help="per-utterance cepstral mean normalization")
+    p.add_argument("--cmn-mode", choices=["utterance", "causal"],
+                   default=FrontendConfig.cmn_mode,
+                   help="'utterance' = exact mean over the utterance "
+                        "(offline only); 'causal' = bias-corrected "
+                        "exponential running mean — prefix-stable, so "
+                        "the streaming surfaces accept it")
+    p.add_argument("--cmn-alpha", type=float,
+                   default=FrontendConfig.cmn_alpha,
+                   help="causal-cmn forgetting factor (~2 s horizon at "
+                        "the default frame rate)")
     p.add_argument("--features", choices=["mfcc", "lpcc"], default="mfcc")
     p.add_argument("--denoise", choices=["none", "spectral_subtraction"],
                    default="none",

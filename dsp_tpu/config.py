@@ -42,6 +42,19 @@ class FrontendConfig:
     add_deltas: bool = True        # append delta + delta-delta => 39-dim
     use_energy: bool = False       # replace c0 with log frame energy
     cmn: bool = False              # per-utterance cepstral mean normalization
+    # CMN flavor (round 5, VERDICT r4 #6).  "utterance": subtract the
+    # exact mean over the (VAD-trimmed) utterance — the measured-best
+    # clean/tilt config (docs/RESULTS.md) but a whole-utterance
+    # statistic, so the ONLINE DPs (streaming connected decode,
+    # streaming spotting) cannot use it.  "causal": subtract a
+    # bias-corrected exponential running mean
+    #   num_t = a*num_{t-1} + (1-a)*c_t,  m_t = num_t / (1 - a^(t+1))
+    # (a = cmn_alpha) — prefix-stable (frame t's features never change
+    # as more audio arrives), hence streamable; converges to the
+    # utterance mean on stationary channels.  Enroll/train with the
+    # SAME mode so queries and templates share a feature space.
+    cmn_mode: str = "utterance"    # | "causal"
+    cmn_alpha: float = 0.995       # causal forgetting (~2 s @ 100 fps)
     feature_type: str = "mfcc"     # "mfcc" | "lpcc"
     lpc_order: int = 12            # LPC prediction order (feature_type="lpcc")
     log_floor: float = 1e-10

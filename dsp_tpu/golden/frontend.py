@@ -172,6 +172,21 @@ def deltas(feats: np.ndarray, width: int = 2) -> np.ndarray:
     return out
 
 
+def causal_cmn(feats: np.ndarray, alpha: float) -> np.ndarray:
+    """Loop spec of ops/frontend.causal_cmn (cmn_mode="causal"):
+    per-frame subtraction of the bias-corrected exponential running mean
+
+        num_t = alpha * num_{t-1} + (1 - alpha) * c_t
+        out_t = c_t - num_t / (1 - alpha^(t+1))
+    """
+    out = np.zeros_like(feats)
+    num = np.zeros(feats.shape[-1], dtype=np.float64)
+    for t in range(feats.shape[0]):
+        num = alpha * num + (1.0 - alpha) * feats[t].astype(np.float64)
+        out[t] = feats[t] - num / (1.0 - alpha ** (t + 1))
+    return out
+
+
 def mfcc_with_deltas(x: np.ndarray, cfg: FrontendConfig = FrontendConfig()) -> np.ndarray:
     """MFCC plus delta and delta-delta, stacked -> [n_frames, 3*n_mfcc]."""
     c = mfcc(x, cfg)

@@ -30,7 +30,11 @@ def extract_features(x: np.ndarray, pcfg: PipelineConfig = PipelineConfig()):
         s, e, _ = detect_endpoints(x, pcfg.frontend, pcfg.vad)
         c = c[s:e]
     if pcfg.frontend.cmn and c.shape[0] > 0:
-        c = c - c.mean(axis=0, keepdims=True)
+        if pcfg.frontend.cmn_mode == "causal":
+            from dsp_tpu.golden.frontend import causal_cmn
+            c = causal_cmn(c, pcfg.frontend.cmn_alpha)
+        else:
+            c = c - c.mean(axis=0, keepdims=True)
     if pcfg.frontend.add_deltas:
         d1 = deltas(c, pcfg.frontend.delta_width)
         d2 = deltas(d1, pcfg.frontend.delta_width)

@@ -500,7 +500,10 @@ def frontend_signature(cfg: PipelineConfig) -> dict:
         "sample_rate": f.sample_rate,
         "n_mfcc": f.n_mfcc,
         "add_deltas": f.add_deltas,
-        "cmn": f.cmn,
+        # encode the mode+alpha only when they matter so utterance-mode
+        # checkpoints keep the legacy boolean (older banks still load)
+        "cmn": (f"causal:a{f.cmn_alpha}"
+                if f.cmn and f.cmn_mode == "causal" else f.cmn),
         # the subtraction parameters shape the feature space too — a
         # mismatched alpha would silently classify in a different space
         "denoise": (f"{f.denoise}:a{f.ss_alpha}:b{f.ss_beta}:f{f.ss_frac}"

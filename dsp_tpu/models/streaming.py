@@ -92,12 +92,19 @@ class StreamingRecognizer:
         padded[: len(seg)] = seg[:t_max]
         length = jnp.asarray(min(len(seg), t_max))
         if self.cfg.frontend.cmn:
-            # mirror pipeline._extract_one: mean over the valid frames
-            # only, so streaming queries live in the same feature space
-            # as the CMN-normalised bank templates
+            # mirror pipeline._finalize_window so streaming queries live
+            # in the same feature space as the CMN-normalised bank
             valid = (np.arange(t_max) < int(length))[:, None]
-            mean = (padded * valid).sum(0, keepdims=True) / max(int(length), 1)
-            padded = np.where(valid, padded - mean, 0.0).astype(np.float32)
+            if self.cfg.frontend.cmn_mode == "causal":
+                from dsp_tpu.golden.frontend import causal_cmn
+                n_valid = int(length)
+                padded[:n_valid] = causal_cmn(padded[:n_valid],
+                                              self.cfg.frontend.cmn_alpha)
+                padded = np.where(valid, padded, 0.0).astype(np.float32)
+            else:
+                mean = ((padded * valid).sum(0, keepdims=True)
+                        / max(int(length), 1))
+                padded = np.where(valid, padded - mean, 0.0).astype(np.float32)
         feats = fe.add_deltas(jnp.asarray(padded), self.cfg.frontend, length)
         feats = jnp.where((jnp.arange(t_max) < length)[:, None], feats, 0.0)
         query = pl.Features(feats[None], length[None])
@@ -185,11 +192,15 @@ class StreamingConnectedRecognizer:
             raise NotImplementedError(
                 "StreamingConnectedRecognizer supports "
                 "feature_type='mfcc' only")
-        if self.cfg.frontend.cmn:
+        if self.cfg.frontend.cmn and self.cfg.frontend.cmn_mode != "causal":
+            # utterance-mode cmn is a whole-utterance statistic; the
+            # online DP cannot retract frames it already decoded.
+            # cmn_mode="causal" (prefix-stable running mean, round 5) IS
+            # supported — enroll the bank with the same mode.
             raise NotImplementedError(
-                "cmn is an utterance-global statistic; the online DP "
-                "cannot retract frames it already decoded — enroll a "
-                "cmn=False bank for streaming connected decoding")
+                "cmn_mode='utterance' cannot stream; enroll a cmn=False "
+                "or cmn_mode='causal' bank for streaming connected "
+                "decoding")
         self._lb = lb
         self.chunk_len = chunk_len
         self.max_levels = max_levels
@@ -224,6 +235,11 @@ class StreamingConnectedRecognizer:
         ops/frontend.add_deltas over the closed utterance."""
         lo = self._utt["start"] - self._offset
         c = np.stack(self._frames[lo:lo + n_avail]).astype(np.float32)
+        if self.cfg.frontend.cmn:
+            # causal mode only (the __init__ guard): prefix-stable, so
+            # rows already fed to the DP are reproduced bit-identically
+            from dsp_tpu.golden.frontend import causal_cmn
+            c = causal_cmn(c, self.cfg.frontend.cmn_alpha)
         if not self.cfg.frontend.add_deltas:
             return c
         d1 = _np_deltas(c, self.cfg.frontend.delta_width)

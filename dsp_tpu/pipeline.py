@@ -86,9 +86,19 @@ def _finalize_window(c: jax.Array, start: jax.Array, end: jax.Array,
     idx = jnp.clip(start + jnp.arange(t_max), 0, c.shape[0] - 1)
     c = jnp.take(c, idx, axis=0)                              # frames from VAD start
     if f.cmn:
-        valid = (jnp.arange(t_max) < length)[:, None].astype(c.dtype)
-        mean = jnp.sum(c * valid, axis=0, keepdims=True) / length.astype(c.dtype)
-        c = c - mean
+        if f.cmn_mode == "causal":
+            # prefix-stable running mean (ops/frontend.causal_cmn) —
+            # row t only sees rows <= t, so the gathered window's
+            # clamp-duplicated tail rows cannot contaminate valid rows
+            c = fe.causal_cmn(c, f.cmn_alpha)
+        elif f.cmn_mode == "utterance":
+            valid = (jnp.arange(t_max) < length)[:, None].astype(c.dtype)
+            mean = (jnp.sum(c * valid, axis=0, keepdims=True)
+                    / length.astype(c.dtype))
+            c = c - mean
+        else:
+            raise ValueError(
+                f"unknown FrontendConfig.cmn_mode {f.cmn_mode!r}")
     feats = fe.add_deltas(c, f, length)
     feats = jnp.where((jnp.arange(t_max) < length)[:, None], feats, 0.0)
     return Features(feats, length)
