@@ -774,6 +774,21 @@ def cmd_warm(args):
             timeout_s=args.timeout, retries=args.retries)
         print(f"warm: connected+spot len={mult}x max_samples "
               f"({_time.perf_counter() - t1:.1f}s)", flush=True)
+    for spec in (args.stages.split(",") if args.stages else []):
+        # the fe_profile stage programs (scripts/fe_profile.py): the
+        # round-4 profiling attempt died in a >20 min COLD compile of
+        # the fe-only program because only the fused recognize program
+        # was in the cache (VERDICT r4 #1) — pre-compile each isolated
+        # stage here so profiling always starts warm
+        chunk, _, k_t = spec.partition("x")
+        t1 = _time.perf_counter()
+        run_with_deadline(
+            "scripts.fe_profile:body",
+            (int(chunk), int(k_t or 100), 1, 1),
+            timeout_s=args.timeout, retries=args.retries)
+        print(f"warm: fe-profile stages chunk={chunk} templates="
+              f"{k_t or 100} ({_time.perf_counter() - t1:.1f}s)",
+              flush=True)
     print(f"warm: done in {_time.perf_counter() - t0:.1f}s — runs at these "
           f"shapes now hit the persistent compilation cache")
 
@@ -1272,6 +1287,12 @@ def main(argv=None):
     p.add_argument("--grammar", metavar="JSON",
                    help="grammar spec to warm the constrained DP with "
                         "(--connected only)")
+    p.add_argument("--stages", nargs="?", const="256x100", default="",
+                   metavar="CHUNKxK[,..]",
+                   help="also compile the isolated fe-profile stage "
+                        "programs (scripts/fe_profile.py: noop/mfcc/vad/"
+                        "fe/dtw/full) at these chunk-x-templates shapes "
+                        "(bare flag = the 256x100 bench shape)")
     _add_common(p)
     p.set_defaults(fn=cmd_warm)
 
