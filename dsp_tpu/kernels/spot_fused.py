@@ -148,8 +148,11 @@ def _kernel(tl_s, sa_ref, ba_ref, slv_ref, norm_ref, start_ref, cq, cs, *,
     span = (lane - kept_s + 1).astype(f32)
     norm = kept_d / (tl.astype(f32) + span)
     norm = jnp.where(lane < slv_ref[:], norm, BIG)   # cols >= len_stream
-    norm_ref[:] = norm[:, None, :]
-    start_ref[:] = kept_s[:, None, :]
+    # outputs are laid out [K, B, U]: a [1, ST, U_pad] block satisfies
+    # Mosaic's (8, 128) tiling on its last two dims, which the natural
+    # [B, K, U] layout's [ST, 1, U_pad] block cannot (K is unconstrained)
+    norm_ref[:] = norm[None, :, :]
+    start_ref[:] = kept_s[None, :, :]
 
 
 def _augment(tmpl: jax.Array, stream: jax.Array):
@@ -208,9 +211,9 @@ def subseq_dtw_fused(streams: jax.Array, stream_lens: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((st, 1, u_pad), lambda si, ki, *_: (si, ki, 0),
+            pl.BlockSpec((1, st, u_pad), lambda si, ki, *_: (ki, si, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((st, 1, u_pad), lambda si, ki, *_: (si, ki, 0),
+            pl.BlockSpec((1, st, u_pad), lambda si, ki, *_: (ki, si, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -220,8 +223,8 @@ def subseq_dtw_fused(streams: jax.Array, stream_lens: jax.Array,
     )
     norm, start = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((b_pad, k, u_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((b_pad, k, u_pad), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((k, b_pad, u_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((k, b_pad, u_pad), jnp.int32)],
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * k * t_pad * u_pad * faug,
@@ -233,4 +236,5 @@ def subseq_dtw_fused(streams: jax.Array, stream_lens: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(tl_s, sa, ba, slv)
-    return norm[:bsz, :, :u], start[:bsz, :, :u]
+    return (jnp.moveaxis(norm, 0, 1)[:bsz, :, :u],
+            jnp.moveaxis(start, 0, 1)[:bsz, :, :u])

@@ -11,7 +11,9 @@ __all__.append("StreamingRecognizer")
 
 from dsp_tpu.models.spotter import (KeywordSpotter, StreamingSpotter,  # noqa: E402
                                     HmmSpotter, CascadeSpotter,
-                                    StreamingHmmSpotter)
+                                    StreamingHmmSpotter,
+                                    StreamingCascadeSpotter)
 
 __all__ += ["KeywordSpotter", "StreamingSpotter", "HmmSpotter",
-            "CascadeSpotter", "StreamingHmmSpotter"]
+            "CascadeSpotter", "StreamingHmmSpotter",
+            "StreamingCascadeSpotter"]

@@ -678,6 +678,239 @@ class CascadeSpotter:
                 for evs in self.rescored(signals)]
 
 
+class _CausalFeatureStream:
+    """The front-end half of :class:`_StreamingSpotterBase` with no DP:
+    a causal raw-cepstra history plus on-demand window finalization, so
+    the streaming cascade can cut stage-2 rerank windows that equal the
+    offline whole-recording features row-for-row.
+
+    A [c, Δ, ΔΔ] row needs ±2·delta_width raw frames of context; rows
+    of ``window(lo, hi)`` are offline-exact once ``hi + 2w`` raw frames
+    exist (or the stream has ended, where edge replication at the true
+    last frame matches offline masked_deltas)."""
+
+    def __init__(self, cfg, mats, chunk_len: int):
+        self.cfg, self.mats, self.chunk_len = cfg, mats, chunk_len
+        f = cfg.frontend
+        self._w = f.delta_width if f.add_deltas else 0
+        self.lag = 2 * self._w
+        self.reset()
+
+    def reset(self) -> None:
+        self.state = st.init_state(self.cfg.frontend, self.chunk_len)
+        self._frames: list[np.ndarray] = []
+        self._samples = 0
+
+    def ingest(self, chunk: np.ndarray, true_samples: int) -> None:
+        """One FULL chunk (zero-padded on flush; ``true_samples`` is the
+        un-padded sample count it advances the stream by)."""
+        f = self.cfg.frontend
+        self._samples += true_samples
+        self.state, out = st.process_chunk(
+            self.state, jnp.asarray(chunk, dtype=jnp.float32), self.mats,
+            self.cfg.frontend, self.cfg.vad, self.chunk_len)
+        mfcc = np.asarray(out.mfcc)[np.asarray(out.frame_valid)]
+        base = len(self._frames)
+        keep = [i for i in range(len(mfcc))
+                if (base + i) * f.hop_len + f.frame_len <= self._samples]
+        self._frames.extend(mfcc[keep])
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._frames)
+
+    def ready(self, hi: int, final: bool) -> bool:
+        """Are rows [.., hi) of ``window`` offline-exact yet?"""
+        return (hi + self.lag <= len(self._frames)) or \
+            (final and hi <= len(self._frames))
+
+    def window(self, lo: int, hi: int) -> np.ndarray:
+        """Rows [lo, hi) of offline add_deltas over the whole stream."""
+        c_lo = max(0, lo - self.lag)
+        c_hi = min(hi + self.lag, len(self._frames))
+        ctx = np.stack(self._frames[c_lo:c_hi]).astype(np.float32)
+        if self._w == 0:
+            return ctx[lo - c_lo: hi - c_lo]
+        from dsp_tpu.models.streaming import _np_deltas
+        d1 = _np_deltas(ctx, self._w)
+        d2 = _np_deltas(d1, self._w)
+        rows = np.concatenate([ctx, d1, d2], axis=1)
+        return rows[lo - c_lo: hi - c_lo]
+
+
+class StreamingCascadeSpotter:
+    """Online two-stage spotting (VERDICT r4 #8 — the one spotting
+    family without a streaming form): :class:`StreamingHmmSpotter`
+    landmarks confirm online; each confirmed candidate reranks against
+    the template bank (the same constrained device argmin the offline
+    :class:`CascadeSpotter` uses) as soon as its widened window's
+    features are FINAL, so rescored full-word events emit with bounded
+    lag:
+
+        lag ≤ stage-1 hangover + (max template length + margin) + 2w
+        frames  (~hangover + window extension + delta finalization).
+
+    Offline==streaming parity on gap-separated keywords: stage 1's DP
+    is chunk-boundary-invariant (ops/spot_hmm.py), the rerank windows
+    are offline-exact rows (:class:`_CausalFeatureStream`), and the
+    emission queue applies the same greedy best-score-first overlap
+    suppression locally (a pending event emits once a later candidate
+    starts after its end — retraction-free, the streaming analog of
+    ``CascadeSpotter.suppress``).
+
+    Same envelope as the offline cascade plus the streaming base's:
+    shared frame grid, feature_type='mfcc', cmn=False bank.
+    """
+
+    def __init__(self, hmm_recognizer, bank_recognizer,
+                 chunk_len: int = 1600, threshold: float | None = None,
+                 hmm_threshold: float = -45.0, margin: int = 12,
+                 cand_min_gap: int = 25, hangover: int = 25):
+        fh = hmm_recognizer.cfg.frontend
+        fb = bank_recognizer.cfg.frontend
+        if (fh.sample_rate, fh.frame_len, fh.hop_len) != \
+                (fb.sample_rate, fb.frame_len, fb.hop_len):
+            raise ValueError(
+                "cascade stages must share a frame grid: hmm "
+                f"(sr={fh.sample_rate}, frame={fh.frame_len}, "
+                f"hop={fh.hop_len}) vs bank (sr={fb.sample_rate}, "
+                f"frame={fb.frame_len}, hop={fb.hop_len})")
+        if fb.cmn:
+            raise NotImplementedError(
+                "cmn is a whole-stream statistic; enroll a cmn=False "
+                "bank for streaming cascade spotting")
+        self.rec = bank_recognizer
+        self.cfg = dataclasses.replace(bank_recognizer.cfg, use_vad=False)
+        self.threshold, self.threshold_source = resolve_spot_threshold(
+            bank_recognizer, threshold)
+        self.margin = margin
+        self.chunk_len = chunk_len
+        self.stage1 = StreamingHmmSpotter(
+            hmm_recognizer, chunk_len, threshold=hmm_threshold,
+            hangover=hangover, min_gap=cand_min_gap)
+        bank, ids = bank_recognizer.device_bank()
+        self._bank, self._ids = bank, np.asarray(ids)
+        self._ext = int(np.max(np.asarray(bank.length))) + margin
+        self._feats = _CausalFeatureStream(self.cfg, bank_recognizer.mats,
+                                           chunk_len)
+        self.reset()
+
+    def reset(self) -> None:
+        self.stage1.reset()
+        self._feats.reset()
+        self._cands: list[tuple[int, float, int]] = []   # (lo, mid, hi)
+        self._pend_out = None          # rescored event awaiting suppression
+
+    def frame_to_seconds(self, frame: int) -> float:
+        f = self.cfg.frontend
+        return frame * f.hop_len / f.sample_rate
+
+    # ------------------------------------------------------------ internals
+    def _rerank_ready(self, final: bool):
+        """Rerank every queued candidate whose window rows are final;
+        returns rescored (label, s, e, score) events, threshold-filtered."""
+        ready = [c for c in self._cands
+                 if self._feats.ready(min(c[2], self._feats.n_frames),
+                                      final)]
+        if not ready:
+            return []
+        self._cands = [c for c in self._cands if c not in ready]
+        wins = []
+        for lo, mid, hi in ready:
+            hi = min(hi, self._feats.n_frames)
+            if hi - lo >= 2:
+                wins.append((lo, mid, self._feats.window(lo, hi)))
+        if not wins:
+            return []
+        w_pad = -(-max(len(w) for _, _, w in wins) // 32) * 32
+        n_rows = _next_pow2(max(8, len(wins)))
+        x = np.zeros((n_rows, w_pad, wins[0][2].shape[1]), np.float32)
+        lens = np.ones((n_rows,), np.int32)
+        mids = np.zeros((n_rows,), np.float32)
+        for n, (_, mid, w) in enumerate(wins):
+            x[n, :len(w)] = w
+            lens[n] = len(w)
+            mids[n] = mid
+        r, j, s, score = sp.rerank_windows(
+            jnp.asarray(x), jnp.asarray(lens), jnp.asarray(mids),
+            self._bank.feats, self._bank.length,
+            squared=self.cfg.dtw.squared)
+        r, j, s, score = (np.asarray(r), np.asarray(j), np.asarray(s),
+                          np.asarray(score))
+        out = []
+        for n, (lo, _mid, _w) in enumerate(wins):
+            if score[n] < min(self.threshold, 0.5 * sp.BIG):
+                out.append((self.rec.labels[int(self._ids[r[n]])],
+                            lo + int(s[n]), lo + int(j[n]),
+                            float(score[n])))
+        return out
+
+    def _suppressed(self, rescored, final: bool):
+        """Retraction-free greedy suppression: a pending event emits
+        once a later candidate starts after its end; an overlapping
+        better candidate replaces it (mirrors CascadeSpotter.suppress
+        for the gap-separated case)."""
+        events = []
+        for ev in sorted(rescored, key=lambda e: e[1]):
+            if self._pend_out is None:
+                self._pend_out = ev
+            elif ev[1] > self._pend_out[2]:
+                events.append(self._pend_out)
+                self._pend_out = ev
+            elif ev[3] < self._pend_out[3]:
+                self._pend_out = ev
+        if final and self._pend_out is not None:
+            events.append(self._pend_out)
+            self._pend_out = None
+        return events
+
+    def _emit_horizon(self):
+        """Bounded-lag release of the pending event: once the stage-1
+        frontier is a full window-extension + suppression-gap past its
+        end, no candidate queue entry remains, and stage 1 holds no
+        pending match that could rerank back into it, a later
+        overlapping rescore cannot arise in the gap-separated regime —
+        emit now instead of waiting for the next keyword or flush."""
+        if self._pend_out is None or self._cands:
+            return []
+        horizon = self._ext + self.stage1.min_gap + self.stage1.hangover
+        s1p = self.stage1._pending
+        if (self.stage1._fed - self._pend_out[2] > horizon
+                and (s1p is None
+                     or s1p[1] - self._ext > self._pend_out[2])):
+            ev, self._pend_out = self._pend_out, None
+            return [ev]
+        return []
+
+    def _advance(self, s1_events, final: bool):
+        for _lab, s, e, _llr in s1_events:
+            lo = max(0, s - self._ext)
+            self._cands.append((lo, (s + e) / 2.0 - lo, e + 1 + self._ext))
+        events = self._suppressed(self._rerank_ready(final), final)
+        if not final:
+            events.extend(self._emit_horizon())
+        return events
+
+    # ------------------------------------------------------------ public
+    def feed(self, chunk: np.ndarray):
+        """One audio chunk -> confirmed RESCORED events
+        ``(label, start_frame, end_frame, dtw_score)``."""
+        assert len(chunk) == self.chunk_len
+        self._feats.ingest(chunk, len(chunk))
+        return self._advance(self.stage1.feed(chunk), final=False)
+
+    def flush(self, tail: np.ndarray | None = None):
+        """End of stream (optional short final chunk): close stage 1,
+        rerank every remaining candidate, emit everything pending."""
+        if tail is not None and len(tail):
+            assert len(tail) < self.chunk_len
+            buf = np.zeros(self.chunk_len, np.float32)
+            buf[: len(tail)] = tail
+            self._feats.ingest(buf, len(tail))
+        s1 = self.stage1.flush(tail)
+        return self._advance(s1, final=True)
+
+
 class HmmSpotter:
     """HMM keyword spotting: open-endpoint Viterbi vs the UBM filler.
 

@@ -134,3 +134,73 @@ def test_frame_grid_mismatch_raises(hmm_rec):
     brec = KnnDtwRecognizer(other)
     with pytest.raises(ValueError, match="frame grid"):
         CascadeSpotter(hmm_rec, brec)
+
+
+# ---------------------------------------------------------------- streaming
+
+from dsp_tpu.models.spotter import StreamingCascadeSpotter  # noqa: E402
+
+CHUNK = 1600
+
+
+def _run_stream(sc, sig):
+    events = []
+    n_full = len(sig) // CHUNK
+    for c in range(n_full):
+        events += sc.feed(sig[c * CHUNK:(c + 1) * CHUNK])
+    events += sc.flush(sig[n_full * CHUNK:])
+    return events
+
+
+def test_streaming_cascade_matches_offline(hmm_rec, bank_rec, cascade):
+    """VERDICT r4 #8 'Done' criterion: streaming == offline event
+    parity on gap-separated keywords — same labels in order, spans
+    within a few frames (stage-1 landmark confirmation timing is the
+    only difference; the rerank windows are offline-exact rows)."""
+    sig, spans = _build_stream(
+        ["three", "zero", "four", "one", "five"], seed=2)
+    offline, = cascade.spot([sig])
+    sc = StreamingCascadeSpotter(hmm_rec, bank_rec)
+    got = _run_stream(sc, sig)
+    assert [ev[0] for ev in got] == [ev[0] for ev in offline], (got,
+                                                                offline)
+    for (gl, gs, ge, gsc), (ol, os_, oe, osc) in zip(got, offline):
+        assert abs(gs - os_) <= 3 and abs(ge - oe) <= 3, (got, offline)
+        assert gsc < cascade.threshold
+
+
+def test_streaming_cascade_bounded_lag(hmm_rec, bank_rec):
+    """An early keyword's rescored event must emit well before the
+    stream ends (bounded lag, not flush-time batch processing)."""
+    sig, spans = _build_stream(
+        ["zero", "six", "seven", "eight", "nine", "three", "four"],
+        seed=4, gap_s=0.4)
+    sc = StreamingCascadeSpotter(hmm_rec, bank_rec)
+    n_full = len(sig) // CHUNK
+    first_at = None
+    for c in range(n_full):
+        if sc.feed(sig[c * CHUNK:(c + 1) * CHUNK]):
+            first_at = c
+            break
+    assert first_at is not None and first_at < n_full - 2, first_at
+
+
+def test_streaming_cascade_reset_reuses(hmm_rec, bank_rec):
+    sig, _ = _build_stream(["one", "six"], seed=9)
+    sc = StreamingCascadeSpotter(hmm_rec, bank_rec)
+    ev1 = _run_stream(sc, sig)
+    sc.reset()
+    ev2 = _run_stream(sc, sig)
+    assert ev1 == ev2
+    assert [e[0] for e in ev1] == ["one"]
+
+
+def test_streaming_cascade_rejects_cmn_bank(hmm_rec):
+    import dataclasses as dc
+
+    cfg = PipelineConfig()
+    cfg = dc.replace(cfg, frontend=dc.replace(cfg.frontend, cmn=True))
+    r = KnnDtwRecognizer(cfg)
+    r.enroll("zero", [synth_word("zero", 0)])
+    with pytest.raises(NotImplementedError, match="cmn"):
+        StreamingCascadeSpotter(hmm_rec, r)
