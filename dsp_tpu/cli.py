@@ -484,15 +484,24 @@ def cmd_spot(args):
     cfg = _pipeline_cfg(args)
     sigs = [read_wav(p, cfg.frontend.sample_rate)[1] for p in args.wavs]
     if args.stream:
-        if getattr(args, "hmm", None) and args.bank:
-            raise SystemExit("the cascade spotter is offline-only; "
-                             "--stream takes --bank (SPRING DTW) or "
-                             "--hmm (keyword/filler column update)")
         if getattr(args, "calibrate_threshold", False):
             raise SystemExit("--calibrate-threshold is not wired into "
                              "--stream; enroll with calibration (the "
                              "bank stores it) or pass --threshold")
-        if getattr(args, "hmm", None):
+        if getattr(args, "hmm", None) and args.bank:
+            # round 5: the streaming cascade — online HMM landmarks,
+            # device rerank on confirmation, bounded-lag events
+            from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
+            from dsp_tpu.models.spotter import StreamingCascadeSpotter
+            hrec = GmmHmmRecognizer.load(args.hmm, cfg)
+            brec = KnnDtwRecognizer.load(args.bank, cfg)
+            hthr = getattr(args, "hmm_threshold", None)
+            rec = brec
+            mk = lambda thr: StreamingCascadeSpotter(
+                hrec, brec, threshold=thr,
+                **({} if hthr is None else {"hmm_threshold": hthr}))
+            thr = args.threshold     # None -> bank-calibrated or default
+        elif getattr(args, "hmm", None):
             from dsp_tpu.models.gmm_hmm import GmmHmmRecognizer
             from dsp_tpu.models.spotter import StreamingHmmSpotter
             rec = GmmHmmRecognizer.load(args.hmm, cfg)
@@ -1173,7 +1182,8 @@ def main(argv=None):
                    help="online decode (events confirmed chunk-by-"
                         "chunk) instead of the offline batch: SPRING "
                         "DP with --bank, the keyword/filler column "
-                        "update with --hmm (cascade is offline-only)")
+                        "update with --hmm, the bounded-lag streaming "
+                        "cascade with both")
     p.add_argument("--calibrate-threshold", action="store_true",
                    help="DTW spotter only: derive the threshold from "
                         "the bank itself (genuine/impostor score "

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--words-per-stream", type=int, default=12)
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--noise", type=float, default=0.003)
+    ap.add_argument("--no-calibrate", action="store_true",
+                    help="fixed threshold 40 instead of the enroll-time "
+                         "bank calibration (the pre-round-5 default)")
     ap.add_argument("--distractor-weight", type=int, default=1,
                     help="replicate the distractor classes N times in "
                          "the draw vocabulary: higher = sparser "
@@ -64,6 +67,14 @@ def main():
     hrec = GmmHmmRecognizer(cfg, HmmConfig(n_states=4, n_mix=2, n_iter=4))
     hrec.fit(make_corpus(keywords, n_per_word=args.templates + 2, seed=0))
 
+    if not args.no_calibrate:
+        # mirror the CLI `enroll` default (round 5): per-bank calibrated
+        # threshold stored on the recognizer, both spotters resolve it
+        brec.spot_threshold = KeywordSpotter(
+            brec, threshold=0.0).calibrate_threshold()
+        print(f"# bank-calibrated threshold: {brec.spot_threshold:.1f} "
+              f"(--no-calibrate for the fixed default "
+              f"{KeywordSpotter(brec, threshold=40.0).threshold:.0f})")
     dtw = KeywordSpotter(brec)
     casc = CascadeSpotter(hrec, brec)
 

@@ -61,6 +61,18 @@ def main():
         ("k=3", PipelineConfig(), {"k": 3}),
         ("cmn+denoise", PipelineConfig(
             frontend=fcfg(cmn=True, denoise="spectral_subtraction")), {}),
+        # round 5 (VERDICT r4 #5): SNR-adaptive two-pass VAD thresholds
+        # — the structural noise_mult failure at ~0 dB is TH = 4x noise
+        # never firing; two_pass interpolates floor..ceiling instead
+        ("2pass", PipelineConfig(
+            vad=VadConfig(threshold_mode="two_pass")), {}),
+        ("2pass+dn", PipelineConfig(
+            vad=VadConfig(threshold_mode="two_pass"),
+            frontend=fcfg(denoise="spectral_subtraction")), {}),
+        # round 5 (VERDICT r4 #6): causal CMN — quantify the streaming
+        # mode's divergence from offline utterance CMN on clean/tilt
+        ("causal-cmn", PipelineConfig(
+            frontend=fcfg(cmn=True, cmn_mode="causal")), {}),
     ]
 
     train = make_hostile_corpus(vocab, speakers=train_speakers,

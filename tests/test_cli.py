@@ -460,9 +460,14 @@ def test_spot_cascade_family(tmp_path, capsys):
     cli.main(["spot", "--bank", bank, "--hmm", model, wav])
     out = capsys.readouterr().out
     assert wav in out
-    # cascade is offline-only on the CLI
-    with pytest.raises(SystemExit):
-        cli.main(["spot", "--bank", bank, "--hmm", model, "--stream", wav])
+    offline_lines = sorted(ln for ln in out.splitlines() if "\t" in ln)
+    # round 5: --stream selects the streaming cascade (bounded-lag
+    # rescored events) and agrees with offline on gap-separated words
+    cli.main(["spot", "--bank", bank, "--hmm", model, "--stream", wav])
+    sout = capsys.readouterr().out
+    stream_lines = sorted(ln for ln in sout.splitlines() if "\t" in ln)
+    assert [ln.split("\t")[1] for ln in stream_lines] == \
+        [ln.split("\t")[1] for ln in offline_lines], (sout, out)
     with pytest.raises(SystemExit):
         cli.main(["spot", wav])                  # neither model given
 
