@@ -39,6 +39,15 @@ def main():
     from dsp_tpu.models.knn_dtw import KnnDtwRecognizer
 
     quick = "--quick" in sys.argv
+
+    def _listed(flag):
+        # --conditions a,b,c / --configs n1,n2: subset the matrix (a full
+        # run is 11 configs x 8 conditions; a targeted re-measure, e.g.
+        # the round-5 2pass/causal-cmn columns, needs only a slice)
+        if flag in sys.argv:
+            return tuple(sys.argv[sys.argv.index(flag) + 1].split(","))
+        return None
+
     vocab = hostile_vocab()
     train_speakers = (0, 1, 2)
     test_speakers = (4,) if quick else (4, 5)
@@ -46,6 +55,8 @@ def main():
     conditions = (("clean", "snr10", "snr0", "tilt") if quick else
                   ("clean", "snr20", "snr10", "snr5", "snr0",
                    "tilt", "reverb", "tilt+snr10"))
+    conditions = _listed("--conditions") or conditions
+    only_configs = _listed("--configs")
 
     def fcfg(**kw):
         return FrontendConfig(**kw)
@@ -74,6 +85,8 @@ def main():
         ("causal-cmn", PipelineConfig(
             frontend=fcfg(cmn=True, cmn_mode="causal")), {}),
     ]
+    if only_configs:
+        configs = [c for c in configs if c[0] in only_configs]
 
     train = make_hostile_corpus(vocab, speakers=train_speakers,
                                 n_per=n_train_per)
