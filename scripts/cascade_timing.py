@@ -98,7 +98,7 @@ def main():
                 hit = None
                 for k, (tl, ts, te) in enumerate(unmatched):
                     ov = min(e, te) - max(s, ts) + 1
-                    if tl == lab and ov >= 0.5 * (te - ts):
+                    if tl == lab and ov >= 0.5 * (te - ts + 1):
                         hit = k
                         break
                 if hit is None:

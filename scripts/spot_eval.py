@@ -42,7 +42,7 @@ def score(events_per_stream, truths_per_stream, hop, midpoint=False):
                     good = ts <= (s + e) / 2.0 <= te
                 else:
                     ov = min(e, te) - max(s, ts) + 1
-                    good = ov >= 0.5 * (te - ts)
+                    good = ov >= 0.5 * (te - ts + 1)
                 if tl == lab and good:
                     hit = i
                     break
