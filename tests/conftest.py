@@ -28,3 +28,28 @@ if os.environ.get("DSP_TPU_DEVICE_TESTS") != "1":
     import jax  # noqa: E402
 
     jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+# Every XLA:CPU executable JIT-compiled in this single pytest process
+# holds several mmap regions until it is freed; at the round-5 suite
+# size (~489 tests) the process crosses vm.max_map_count (65,530 here)
+# near the 90% mark and the NEXT compile segfaults inside XLA
+# (measured: maps grow 27k -> 42k between 14% and 58% of the run, and
+# three consecutive full-suite runs died at the same innocent test).
+# Dropping jax's executable caches every N tests keeps the map count
+# bounded; the handful of recompiles costs ~1 min suite-wide.
+_CLEAR_EVERY = 40
+_test_counter = [0]
+
+
+@pytest.fixture(autouse=True)
+def _bound_xla_mmap_growth():
+    yield
+    _test_counter[0] += 1
+    if _test_counter[0] % _CLEAR_EVERY == 0:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            jax.clear_caches()
