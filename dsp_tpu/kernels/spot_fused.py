@@ -22,7 +22,14 @@ XLA row scan — rebuilt on the fused banded kernel's machinery
     keep the latest start — the same order as golden/spot.py
     (diagonal > vertical > horizontal, fresh start wins row-0 ties) and
     ops/spot.py's associative scan (witness parity is exact, not just
-    allclose; tests/test_spot_fused.py asserts array_equal).
+    allclose; tests/test_spot_fused.py asserts array_equal).  Caveat
+    measured on the v5e at U=512 (docs/TPU_TESTS.md round 5): the
+    kernel's prefix-sum rounding differs from the scan's balanced
+    tree, so ~0.01% of decisions land on NEAR-ties — raw costs equal
+    to ~1e-6 relative via two different starts — where the two paths
+    return different (equally valid) witnesses, and hence different
+    span-normalised scores.  The device test asserts raw-cost
+    equality at every witness flip instead of exact witness parity.
  3. **Open end**: the whole row i == len_tmpl-1 is harvested (per-end-
     column D and witness), normalised in-kernel by the span convention
     norm[j] = D[j] / (T_tmpl + j - s[j] + 1), BIG at j >= len_stream.

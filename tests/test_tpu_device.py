@@ -332,9 +332,23 @@ def test_hmm_spotting_on_device():
 
 def test_spot_fused_kernel_parity_and_timing():
     """Round-5 surface (VERDICT r4 #3): the fused subsequence-DTW
-    kernel vs the XLA scan on the real chip at a spotting shape —
-    values allclose, witnesses EXACT, plus a timing line of both paths
-    for docs/TPU_TESTS.md."""
+    kernel vs the XLA scan on the real chip at a spotting shape, plus
+    a timing line of both paths for docs/TPU_TESTS.md.
+
+    Witness policy (measured on the v5e, 2026-08-19): at U=512 the
+    kernel's Kogge-Stone prefix sums and the scan's balanced
+    associative-scan tree round differently, and ~0.01% of argmin
+    decisions sit on genuine NEAR-TIES — two structurally different
+    start columns whose raw path costs agree to ~1e-6 relative (e.g.
+    679.6060 vs 679.6063 for starts 25 frames apart).  Either witness
+    is a valid DP answer; span normalisation then makes the NORM
+    values differ by up to ~13% at those sites.  So the device
+    assertion is tie-aware: where witnesses agree, norms must be
+    allclose; where they differ, the RAW costs norm*(tl+span) must
+    agree to 1e-4 relative (proving a legitimate tie, not a DP bug)
+    and such sites must stay rare (< 0.1%).  Interpret-mode CPU tests
+    (tests/test_spot_fused.py) keep EXACT witness equality — the
+    tie-free regime the module docstring promises."""
     from dsp_tpu.kernels.spot_fused import subseq_dtw_fused
     from dsp_tpu.ops.spot import subseq_dtw_batch_impl
     from dsp_tpu.utils.timing import chained_timeit, token_mix
@@ -351,12 +365,26 @@ def test_spot_fused_kernel_parity_and_timing():
     norm_f, start_f = np.asarray(norm_f), np.asarray(start_f)
     norm_s, start_s = np.asarray(norm_s), np.asarray(start_s)
     sl = np.asarray(slens)
+    tl = np.asarray(tlens, np.float64)[None, :, None]
+    jj = np.arange(u, dtype=np.float64)[None, None, :]
+    n_sites = n_flips = 0
     for bi in range(b):
-        np.testing.assert_allclose(norm_f[bi, :, :sl[bi]],
-                                   norm_s[bi, :, :sl[bi]],
-                                   rtol=5e-4, atol=1e-4)
-        np.testing.assert_array_equal(start_f[bi, :, :sl[bi]],
-                                      start_s[bi, :, :sl[bi]])
+        v = slice(0, sl[bi])
+        agree = start_f[bi, :, v] == start_s[bi, :, v]
+        np.testing.assert_allclose(
+            np.where(agree, norm_f[bi, :, v], 0.0),
+            np.where(agree, norm_s[bi, :, v], 0.0),
+            rtol=5e-4, atol=1e-4)
+        # witness flips must be near-ties: raw D = norm * (tl + span)
+        d_f = norm_f[bi, :, v] * (tl[0] + jj[0, :, :sl[bi]]
+                                  - start_f[bi, :, v] + 1)
+        d_s = norm_s[bi, :, v] * (tl[0] + jj[0, :, :sl[bi]]
+                                  - start_s[bi, :, v] + 1)
+        np.testing.assert_allclose(d_f, d_s, rtol=1e-4, atol=1e-3)
+        n_sites += agree.size
+        n_flips += int((~agree).sum())
+    assert n_flips < 1e-3 * n_sites, (n_flips, n_sites)
+    print(f"\n[device] spot witness near-tie flips: {n_flips}/{n_sites}")
 
     @jax.jit
     def step_fused(x, token):
