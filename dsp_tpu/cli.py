@@ -276,6 +276,18 @@ def cmd_enroll(args):
         except ValueError as e:
             log.info("spotting threshold not calibrated (%s); spot "
                      "falls back to the fixed default", e)
+    if not getattr(args, "no_reject_calibration", False):
+        # per-bank OOV-rejection threshold (utterance verification),
+        # stored in the checkpoint so `recognize --reject` works out of
+        # the box without the user hand-tuning a distance cutoff
+        try:
+            rec.calibrate_rejection()
+            log.info("rejection threshold calibrated: %.3f (stored in "
+                     "bank; recognize --reject uses it)",
+                     rec.reject_threshold)
+        except ValueError as e:
+            log.info("rejection threshold not calibrated (%s); "
+                     "--reject will need an explicit threshold", e)
     rec.save(args.bank)
     log.info("bank: %d templates, %d labels -> %s",
              rec.n_templates, len(rec.labels), args.bank)
@@ -287,6 +299,15 @@ def cmd_recognize(args):
     cfg = _pipeline_cfg(args)
     rec = KnnDtwRecognizer.load(args.bank, cfg)
     _apply_matcher_flags(rec, args)
+    reject = _reject_arg(args)
+    if reject is not None and (getattr(args, "connected", False)
+                               or getattr(args, "nbest", 0) > 1):
+        # fail loudly rather than silently ignore the flag (the ADVICE
+        # round-4 --calibrate-threshold/--stream lesson)
+        raise SystemExit("--reject applies to plain classification only "
+                         "(not --connected / --nbest: the connected DP "
+                         "has no per-word accept statistic and nbest "
+                         "already exposes confidence weights)")
     sigs = [read_wav(p, cfg.frontend.sample_rate)[1] for p in args.wavs]
     if getattr(args, "connected", False):
         seqs = rec.classify_connected(
@@ -303,12 +324,13 @@ def cmd_recognize(args):
             cells = " ".join(f"{lab}:{d:.3f}:{w:.3f}" for lab, d, w in hy)
             print(f"{path}\t{cells}")
         return
-    labels = rec.classify_batch(sigs)
+    labels = rec.classify_batch(sigs, reject=reject)
     for path, lab in zip(args.wavs, labels):
         print(f"{path}\t{lab}")
 
 
-def _evaluate_child(bank_path, cfg, k, matcher, shortlist, corpus):
+def _evaluate_child(bank_path, cfg, k, matcher, shortlist, corpus,
+                    reject=None):
     """cmd_evaluate's deadline-child target: recognizer LOAD (which
     builds device-resident FrontendMatrices) + evaluate, all inside the
     deadline.  The parent ships only host data — loading in the parent
@@ -323,7 +345,7 @@ def _evaluate_child(bank_path, cfg, k, matcher, shortlist, corpus):
         rec.matcher = matcher
     if shortlist is not None:
         rec.shortlist = shortlist
-    result = rec.evaluate(corpus)
+    result = rec.evaluate(corpus, reject=reject)
     result["bank_size"] = rec.n_templates
     return result
 
@@ -344,7 +366,7 @@ def cmd_evaluate(args):
             "dsp_tpu.cli:_evaluate_child",
             (args.bank, cfg, getattr(args, "k", None),
              getattr(args, "matcher", None), getattr(args, "shortlist", None),
-             corpus),
+             corpus, _reject_arg(args)),
             timeout_s=args.compile_timeout)
         bank_size = result.pop("bank_size")
     else:
@@ -356,7 +378,7 @@ def cmd_evaluate(args):
         rec = KnnDtwRecognizer.load(args.bank, cfg)
         rec.mesh = _maybe_mesh(args)
         _apply_matcher_flags(rec, args)
-        result = rec.evaluate(corpus)
+        result = rec.evaluate(corpus, reject=_reject_arg(args))
         bank_size = rec.n_templates
     metrics.record(accuracy=result["accuracy"], n=result["n"],
                    bank_size=bank_size, config=cfg)
@@ -684,7 +706,17 @@ def cmd_train_hmm(args):
     hmm = HmmConfig(n_states=args.states, n_mix=args.mix, n_iter=args.iters,
                     train_mode=args.train_mode, map_tau=args.map_tau)
     rec = GmmHmmRecognizer(cfg, hmm)
-    rec.fit(_load_corpus(args.corpus, args.sr))
+    corpus = _load_corpus(args.corpus, args.sr)
+    rec.fit(corpus)
+    if not getattr(args, "no_reject_calibration", False):
+        # OOV-verification LLR threshold from the training corpus,
+        # stored in the checkpoint (evaluate-hmm --reject uses it)
+        try:
+            rec.calibrate_rejection(corpus)
+            log.info("rejection LLR threshold calibrated: %.3f "
+                     "(stored in model)", rec.reject_threshold)
+        except ValueError as e:
+            log.info("rejection threshold not calibrated (%s)", e)
     rec.save(args.model)
     log.info("trained %d word HMMs -> %s", len(rec.labels), args.model)
 
@@ -696,7 +728,8 @@ def cmd_evaluate_hmm(args):
     rec = GmmHmmRecognizer.load(args.model, cfg, hmm)
     rec.mesh = _maybe_mesh(args)
     rec.noise_adapt = getattr(args, "noise_adapt", False)
-    result = rec.evaluate(_load_corpus(args.corpus, args.sr))
+    result = rec.evaluate(_load_corpus(args.corpus, args.sr),
+                          reject=_reject_arg(args))
     print(json.dumps(result["confusion"], indent=2, sort_keys=True))
     print(f"accuracy: {result['accuracy']:.4f} ({result['n']} utterances)")
     if args.metrics_out:
@@ -1063,6 +1096,28 @@ def _add_connected_method(p):
                         "distance; raise to discourage over-segmentation)")
 
 
+def _add_reject(p):
+    p.add_argument("--reject", action="store_true",
+                   help="utterance verification: queries whose best bank "
+                        "distance fails the rejection threshold come "
+                        "back '<reject>' instead of the nearest enrolled "
+                        "word (OOV/garbage input).  Uses the per-bank "
+                        "threshold enroll calibrated and stored; "
+                        "override with --reject-threshold")
+    p.add_argument("--reject-threshold", type=float, default=None,
+                   metavar="D",
+                   help="explicit rejection threshold in the matcher's "
+                        "score units (implies --reject)")
+
+
+def _reject_arg(args):
+    """argparse flags -> classify_batch's reject parameter."""
+    thr = getattr(args, "reject_threshold", None)
+    if thr is not None:
+        return thr
+    return True if getattr(args, "reject", False) else None
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="dsp_tpu", description=__doc__)
     ap.add_argument("--platform", choices=("auto", "cpu", "tpu"),
@@ -1107,6 +1162,11 @@ def main(argv=None):
                    help="skip the per-bank spotting-threshold "
                         "calibration normally stored in the bank "
                         "(a K x K subsequence-DTW scan at enroll time)")
+    p.add_argument("--no-reject-calibration", action="store_true",
+                   help="skip the per-bank OOV-rejection-threshold "
+                        "calibration normally stored in the bank "
+                        "(a K x K classification DTW at enroll time; "
+                        "recognize --reject uses the stored value)")
     _add_common(p)
     p.set_defaults(fn=cmd_enroll)
 
@@ -1123,6 +1183,7 @@ def main(argv=None):
                    help="> 1: print the top-N hypotheses per file as "
                         "label:distance:weight triplets (weight = "
                         "relative confidence, pipeline.nbest_from_scores)")
+    _add_reject(p)
     _add_connected_method(p)
     p.add_argument("wavs", nargs="+")
     _add_common(p)
@@ -1135,6 +1196,7 @@ def main(argv=None):
                    help="> 0: run the evaluation in a child process with "
                         "this deadline (s) + retries, hardening against "
                         "relay compile stalls (utils/relay.py)")
+    _add_reject(p)
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate)
 
@@ -1240,6 +1302,9 @@ def main(argv=None):
                         "background GMM (few-shot regulariser)")
     p.add_argument("--train-mode", choices=["viterbi", "baum_welch"],
                    default="viterbi")
+    p.add_argument("--no-reject-calibration", action="store_true",
+                   help="skip the OOV-rejection LLR calibration on the "
+                        "training corpus normally stored in the model")
     _add_common(p)
     p.set_defaults(fn=cmd_train_hmm)
 
@@ -1250,6 +1315,7 @@ def main(argv=None):
     p.add_argument("--mix", type=int, default=3)
     p.add_argument("--iters", type=int, default=10)
     _add_noise_adapt(p)
+    _add_reject(p)
     _add_common(p)
     p.set_defaults(fn=cmd_evaluate_hmm)
 

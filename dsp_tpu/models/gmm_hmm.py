@@ -89,6 +89,19 @@ def score_words(feats: jax.Array, lengths: jax.Array, params: HmmParams) -> jax.
                          logb, lengths[:, None])
 
 
+@jax.jit
+def score_ubm(feats: jax.Array, lengths: jax.Array, ubm) -> jax.Array:
+    """feats [B, T, F] x UBM (means/log_var/log_mix [M, ...]) -> total
+    log-lik [B] over the valid frames — the filler/background score the
+    utterance-verification LLR normalizes against (same role the UBM
+    plays per-frame in HMM keyword spotting, ops/spot_hmm.py)."""
+    means, log_var, log_mix = ubm
+    ll = gmm_loglik_flat(feats, means, log_var) + log_mix   # [B, T, M]
+    fr = jax.nn.logsumexp(ll, axis=-1)                      # [B, T]
+    mask = jnp.arange(feats.shape[1])[None, :] < lengths[:, None]
+    return jnp.sum(jnp.where(mask, fr, 0.0), axis=1)
+
+
 # ---------------------------------------------------------------- training
 def _uniform_alignment(t_max: int, length: jax.Array, n_states: int) -> jax.Array:
     """Initial state of frame t: floor(t * S / length), clipped; [T] int32."""
@@ -502,6 +515,9 @@ class GmmHmmRecognizer:
         # automatic form of the manual --train-noise refit remedy
         # (docs/RESULTS.md connected-WER matrix; VERDICT r3 #5)
         self.noise_adapt = noise_adapt
+        self.reject_threshold: float | None = None  # calibrated OOV
+        #   verification threshold on the per-frame (best word − UBM)
+        #   LLR (calibrate_rejection); persisted in the checkpoint
 
     def _pad_signals(self, signals):
         return pl.pad_signals(signals, self.cfg.max_samples)
@@ -565,8 +581,15 @@ class GmmHmmRecognizer:
     def _params_for(self, signals) -> HmmParams:
         """The scoring params: stored, or PMC-adapted to ``signals``'s
         estimated noise floor when ``noise_adapt`` is on."""
+        return self._scoring_models(signals)[0]
+
+    def _scoring_models(self, signals):
+        """(word params, ubm) for scoring ``signals`` — PMC-adapted
+        TOGETHER when ``noise_adapt`` is on: the rejection LLR compares
+        word scores against the UBM, so both sides must see the same
+        compensated feature space."""
         if not self.noise_adapt:
-            return self.params
+            return self.params, self.ubm
         from dsp_tpu.ops.noise_adapt import (estimate_noise_cepstrum,
                                              pmc_adapt_means, pmc_supported)
 
@@ -583,23 +606,107 @@ class GmmHmmRecognizer:
             x, n, self.mats, self.cfg.frontend, self.cfg.vad)
         means = pmc_adapt_means(self.params.means, noise_c, self.mats,
                                 self.cfg.frontend)
-        return self.params._replace(means=means)
+        ubm = self.ubm
+        if ubm is not None:
+            ubm = (pmc_adapt_means(ubm[0], noise_c, self.mats,
+                                   self.cfg.frontend), ubm[1], ubm[2])
+        return self.params._replace(means=means), ubm
 
-    def classify_batch(self, signals, return_scores: bool = False):
+    def classify_batch(self, signals, return_scores: bool = False,
+                       reject=None):
+        """``reject``: utterance verification on the per-frame
+        (best-word Viterbi − UBM) log-likelihood ratio — the
+        keyword/filler LLR (ops/spot_hmm.py) applied to whole
+        utterances.  ``True`` = the calibrated stored threshold
+        (:meth:`calibrate_rejection`), a number = explicit; failing
+        utterances return ``REJECT``.  Composes with ``noise_adapt``
+        (the UBM is PMC-adapted alongside the word models)."""
         if self.params is None:
             raise ValueError("model not fitted")
+        thr = self._resolve_reject(reject)
+        feats = None
         if self.mesh is not None:
             scores = self._score_sharded(signals)              # [B, W] np
         else:
-            params = self._params_for(signals)
+            params, ubm = self._scoring_models(signals)
             feats = self.extract(signals)
             scores = np.asarray(
                 score_words(feats.feats, feats.length, params))
         ids = scores.argmax(axis=-1)
         labels = [self.labels[int(i)] for i in ids]
+        if thr is not None:
+            if feats is None:                  # mesh path: extract here
+                ubm = self.ubm
+                feats = self.extract(signals)
+            llr = self._utterance_llr(feats, scores, ubm)
+            from dsp_tpu.models.knn_dtw import REJECT
+            labels = [REJECT if not (s >= thr) else lab
+                      for lab, s in zip(labels, llr)]
         if return_scores:
             return labels, scores
         return labels
+
+    def _utterance_llr(self, feats: pl.Features, scores: np.ndarray,
+                       ubm) -> np.ndarray:
+        """[B] per-frame LLR: (max-word loglik − UBM loglik) / frames."""
+        if ubm is None:
+            raise ValueError(
+                "rejection needs the UBM this model's fit() stores — "
+                "older checkpoint? refit (train-hmm) to enable --reject")
+        ubm_s = np.asarray(score_ubm(feats.feats, feats.length, ubm))
+        nfr = np.maximum(np.asarray(feats.length), 1)
+        return (scores.max(axis=-1) - ubm_s) / nfr
+
+    def _resolve_reject(self, reject) -> float | None:
+        """None/False = off; True = the calibrated stored threshold;
+        a number = explicit LLR threshold (accept iff llr >= thr)."""
+        if reject is None or reject is False:
+            return None
+        if reject is True:
+            if self.reject_threshold is None:
+                raise ValueError(
+                    "reject=True but no rejection threshold is stored — "
+                    "calibrate_rejection(corpus) first (train-hmm does "
+                    "this by default) or pass an explicit number")
+            return float(self.reject_threshold)
+        return float(reject)
+
+    def calibrate_rejection(self, corpus: dict, genuine_q: float = 0.1,
+                            impostor_q: float = 0.98) -> float:
+        """OOV-rejection LLR threshold from a labeled corpus (typically
+        the training corpus, which train-hmm already holds).
+
+        Mirrors KnnDtwRecognizer.calibrate_rejection with the sign
+        flipped (higher LLR = better): GENUINE = each utterance's
+        test-time statistic, (best-word score − UBM)/frames; IMPOSTOR =
+        the same with the utterance's OWN word masked out — what it
+        would score if its word were missing from the vocabulary (the
+        OOV mechanism).  Threshold = midpoint(genuine q0.1, impostor
+        q0.98); accept iff llr >= threshold.  Stored on
+        ``self.reject_threshold`` (persisted by save/load)."""
+        if self.params is None:
+            raise ValueError("model not fitted")
+        if len(self.labels) < 2:
+            raise ValueError("calibrate_rejection needs >= 2 words "
+                             "(no impostor scores with one word)")
+        sigs, want = [], []
+        for lab, xs in corpus.items():
+            if lab not in self.labels:
+                raise ValueError(f"corpus label {lab!r} is not in the "
+                                 "model vocabulary")
+            sigs.extend(xs)
+            want.extend([self.labels.index(lab)] * len(xs))
+        params, ubm = self._scoring_models(sigs)
+        feats = self.extract(sigs)
+        scores = np.asarray(score_words(feats.feats, feats.length, params))
+        llr_all = self._utterance_llr(feats, scores, ubm)
+        masked = scores.copy()
+        masked[np.arange(len(want)), np.asarray(want)] = -np.inf
+        llr_imp = self._utterance_llr(feats, masked, ubm)
+        self.reject_threshold = float(
+            (np.quantile(llr_all, genuine_q)
+             + np.quantile(llr_imp, impostor_q)) / 2.0)
+        return self.reject_threshold
 
     def classify_nbest(self, signals, n: int = 3):
         """Top-n label hypotheses per utterance: ``[[(label, log_lik,
@@ -733,11 +840,23 @@ class GmmHmmRecognizer:
         return np.asarray(
             _extract_and_score(xs, ns, params, self.mats, self.cfg))[:b_orig]
 
-    def recognize(self, signal) -> str:
-        return self.classify_batch([signal])[0]
+    def recognize(self, signal, reject=None) -> str:
+        return self.classify_batch([signal], reject=reject)[0]
 
-    def evaluate(self, corpus: dict) -> dict:
-        return pl.evaluate_corpus(self.classify_batch, corpus)
+    def evaluate(self, corpus: dict, reject=None) -> dict:
+        """With ``reject``: same OOV protocol as KnnDtwRecognizer —
+        corpus labels not in the vocabulary count correct iff
+        rejected."""
+        thr = self._resolve_reject(reject)
+        if thr is None:
+            return pl.evaluate_corpus(self.classify_batch, corpus)
+        from dsp_tpu.models.knn_dtw import REJECT
+        mapped: dict = {}
+        for lab, xs in corpus.items():
+            key = lab if lab in self.labels else REJECT
+            mapped.setdefault(key, []).extend(xs)
+        return pl.evaluate_corpus(
+            lambda s: self.classify_batch(s, reject=thr), mapped)
 
     def save(self, path: str) -> None:
         if self.params is None:
@@ -749,6 +868,8 @@ class GmmHmmRecognizer:
                      zip(("means", "log_var", "log_mix"), self.ubm)}
         np.savez(path, labels=json.dumps(self.labels),
                  frontend=json.dumps(frontend_signature(self.cfg)),
+                 reject_threshold=(np.nan if self.reject_threshold is None
+                                   else float(self.reject_threshold)),
                  **{f: np.asarray(getattr(self.params, f))
                     for f in HmmParams._fields}, **extra)
 
@@ -764,4 +885,7 @@ class GmmHmmRecognizer:
         if "ubm_means" in data:
             rec.ubm = tuple(jnp.asarray(data[f"ubm_{n}"])
                             for n in ("means", "log_var", "log_mix"))
+        if "reject_threshold" in data.files:
+            rt = float(data["reject_threshold"])
+            rec.reject_threshold = rt if np.isfinite(rt) else None
         return rec

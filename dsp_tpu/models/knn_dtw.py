@@ -26,6 +26,13 @@ from dsp_tpu.ops import frontend as fe
 # slope="itakura" with all length ratios > 2.
 NO_MATCH = "<no-match>"
 
+# Returned under rejection (classify_batch(reject=...)) for a query whose
+# best bank distance fails the utterance-verification threshold — the
+# classical out-of-vocabulary / garbage-input reject decision (SURVEY.md
+# §1a L3: the reference's argmin classifier has no OOV notion; a
+# production recognizer needs one).
+REJECT = "<reject>"
+
 
 class KnnDtwRecognizer:
     """Template-bank recognizer: enroll utterances, classify by DTW.
@@ -58,6 +65,12 @@ class KnnDtwRecognizer:
         #   written at enroll time and persisted in the checkpoint; the
         #   fixed default 40 decays at vocabulary scale (35 keywords:
         #   F1 0.80 vs 0.91 calibrated — docs/RESULTS.md)
+        self.reject_threshold: float | None = None  # per-bank calibrated
+        #   OOV-rejection threshold (calibrate_rejection), persisted in
+        #   the checkpoint; used by classify_batch(reject=True)
+        self.reject_scale: str | None = None        # score scale it was
+        #   calibrated in ("dtw" | "ltw") — validated at use time, since
+        #   the matcher can be switched after enrollment
         self.labels: list[str] = []          # label id -> string
         self._bank_feats: list[np.ndarray] = []   # [U_max, F] each
         self._bank_lens: list[int] = []
@@ -128,15 +141,121 @@ class KnnDtwRecognizer:
             )
         return self._sharded_bank
 
+    # ----------------------------------------------------------- rejection
+    def _bank_self_distances(self) -> np.ndarray:
+        """[K, K] distance of every enrolled template against the bank,
+        in the DEPLOYED matcher's score scale: ltw scores in squared
+        linear-warp units; dtw / cascade / bucketed / mesh all score in
+        full-DTW units (the cascade's rerank distances ARE DTW)."""
+        bank, ids = self.device_bank()
+        if self.matcher == "ltw":
+            _, d = pl.classify_features_ltw(bank, bank, ids, self.ltw_len)
+        else:
+            _, d = pl.classify_features(bank, bank, ids,
+                                        n_labels=len(self.labels), k=1,
+                                        cfg=self.cfg)
+        return np.asarray(d)
+
+    def calibrate_rejection(self, genuine_q: float = 0.9,
+                            impostor_q: float = 0.02) -> float:
+        """Per-bank OOV-rejection threshold from enrollment data alone.
+
+        The classical utterance-verification decision: ACCEPT a query
+        iff its best bank distance clears a threshold; anything else —
+        out-of-vocabulary words, coughs, line noise — returns
+        ``REJECT`` instead of silently electing the nearest enrolled
+        word (which the plain argmin always does).
+
+        Two populations the threshold must separate, both available
+        from the bank itself (the same separation rule as the spotting
+        calibration, models/spotter.py:calibrate_threshold):
+
+        * GENUINE — each template's best leave-one-out distance to a
+          SAME-label template: what an in-vocabulary query scores.
+          (The test-time statistic is the min over the WHOLE bank,
+          which is <= this, so the genuine side is conservative.)
+        * IMPOSTOR — each template's best distance to a WRONG-label
+          template: what a query scores when its own word is absent
+          from the bank — the OOV mechanism.
+
+        Returns midpoint(genuine q0.9, impostor q0.02) and stores it on
+        ``self.reject_threshold`` (persisted by save/load).  Requires
+        >= 2 templates of some label and >= 2 labels.
+        """
+        d = self._bank_self_distances()
+        ids = np.asarray(self._bank_label_ids)
+        same = ids[:, None] == ids[None, :]
+        eye = np.eye(len(ids), dtype=bool)
+        dd = np.where(d < 1e20, d, np.inf)      # dead pairs carry no info
+        genuine = np.min(np.where(same & ~eye, dd, np.inf), axis=1)
+        impostor = np.min(np.where(~same, dd, np.inf), axis=1)
+        genuine = genuine[np.isfinite(genuine)]
+        impostor = impostor[np.isfinite(impostor)]
+        if not len(genuine):
+            raise ValueError("calibrate_rejection needs >= 2 templates "
+                             "of some label (no genuine pairs in bank)")
+        if not len(impostor):
+            raise ValueError("calibrate_rejection needs >= 2 labels "
+                             "(no impostor pairs in bank)")
+        self.reject_threshold = float(
+            (np.quantile(genuine, genuine_q)
+             + np.quantile(impostor, impostor_q)) / 2.0)
+        self.reject_scale = self._score_scale()
+        return self.reject_threshold
+
+    def _score_scale(self) -> str:
+        return "ltw" if self.matcher == "ltw" else "dtw"
+
+    def _resolve_reject(self, reject) -> float | None:
+        """None/False = off; True = the calibrated per-bank threshold
+        (error if none is stored); a number = explicit threshold."""
+        if reject is None or reject is False:
+            return None
+        if reject is True:
+            if self.reject_threshold is None:
+                raise ValueError(
+                    "reject=True but no rejection threshold is stored — "
+                    "calibrate_rejection() first (enroll does this by "
+                    "default) or pass an explicit number")
+            if (self.reject_scale is not None
+                    and self.reject_scale != self._score_scale()):
+                raise ValueError(
+                    f"stored rejection threshold was calibrated in "
+                    f"{self.reject_scale!r} score units but the current "
+                    f"matcher scores in {self._score_scale()!r} — "
+                    f"recalibrate (calibrate_rejection) under this "
+                    f"matcher or pass an explicit threshold")
+            return float(self.reject_threshold)
+        return float(reject)
+
     # ------------------------------------------------------------ classify
     def classify_batch(self, signals, return_distances: bool = False,
-                       chunk: int = 256):
+                       chunk: int = 256, reject=None):
         """List of signals -> list of labels.
 
         Large batches are processed in fixed-size chunks (padded to the
         chunk size so only one program is compiled) to bound the [B, K,
         T, U] DTW cost memory on device.
+
+        ``reject`` turns on utterance verification (see
+        :meth:`calibrate_rejection`): queries whose best bank distance
+        fails the threshold come back as ``REJECT``.  Works under every
+        matcher and the mesh — the decision reads the distances the
+        matcher already returns (the cascade's shortlist minimum IS its
+        best DTW distance; ltw thresholds in ltw units, which is the
+        scale its calibration uses).
         """
+        thr = self._resolve_reject(reject)
+        if thr is not None:
+            labels, dists = self.classify_batch(signals, chunk=chunk,
+                                                return_distances=True)
+            dd = np.where(np.asarray(dists) < 1e20, dists, np.inf)
+            best = dd.min(axis=1) if dd.size else np.zeros(len(labels))
+            labels = [REJECT if (lab != NO_MATCH and not (b < thr))
+                      else lab for lab, b in zip(labels, best)]
+            if return_distances:
+                return labels, dists
+            return labels
         if self.mesh is not None:
             if self.matcher != "dtw":
                 raise ValueError(
@@ -240,9 +359,10 @@ class KnnDtwRecognizer:
         return pl.classify_features(feats, bank, ids, n_labels=len(self.labels),
                                     k=self.k, cfg=self.cfg)
 
-    def recognize(self, signal) -> str:
-        """Single utterance -> label (the reference's main entry point)."""
-        return self.classify_batch([signal])[0]
+    def recognize(self, signal, reject=None) -> str:
+        """Single utterance -> label (the reference's main entry point).
+        ``reject`` as in :meth:`classify_batch` (may return REJECT)."""
+        return self.classify_batch([signal], reject=reject)[0]
 
     def resolve_grammar(self, grammar):
         """Normalise a grammar argument -> UNIT-level masks for the bank.
@@ -412,9 +532,25 @@ class KnnDtwRecognizer:
             k=self.k, n_labels=len(self.labels))
         return np.asarray(label_ids)[:b_orig]
 
-    def evaluate(self, corpus: dict) -> dict:
-        """{label: [signals]} -> accuracy + per-label confusion counts."""
-        return pl.evaluate_corpus(self.classify_batch, corpus)
+    def evaluate(self, corpus: dict, reject=None) -> dict:
+        """{label: [signals]} -> accuracy + per-label confusion counts.
+
+        With ``reject`` set (see :meth:`classify_batch`), corpus labels
+        NOT in the bank are treated as out-of-vocabulary truth: those
+        queries count correct iff rejected (their confusion row is
+        keyed ``REJECT``), and an in-vocabulary query that gets
+        rejected counts wrong — so the single accuracy number folds in
+        both the false-accept and false-reject rates.
+        """
+        thr = self._resolve_reject(reject)
+        if thr is None:
+            return pl.evaluate_corpus(self.classify_batch, corpus)
+        mapped: dict = {}
+        for lab, xs in corpus.items():
+            key = lab if lab in self.labels else REJECT
+            mapped.setdefault(key, []).extend(xs)
+        return pl.evaluate_corpus(
+            lambda s: self.classify_batch(s, reject=thr), mapped)
 
     # ------------------------------------------------------------ condense
     def condense(self, method: str = "dba", n_iter: int = 3) -> None:
@@ -470,6 +606,9 @@ class KnnDtwRecognizer:
             bucketed=self.bucketed,
             spot_threshold=(np.nan if self.spot_threshold is None
                             else float(self.spot_threshold)),
+            reject_threshold=(np.nan if self.reject_threshold is None
+                              else float(self.reject_threshold)),
+            reject_scale=self.reject_scale or "",
             frontend=json.dumps(frontend_signature(self.cfg)),
         )
 
@@ -490,6 +629,10 @@ class KnnDtwRecognizer:
         if "spot_threshold" in data.files:
             st = float(data["spot_threshold"])
             rec.spot_threshold = st if np.isfinite(st) else None
+        if "reject_threshold" in data.files:
+            rt = float(data["reject_threshold"])
+            rec.reject_threshold = rt if np.isfinite(rt) else None
+            rec.reject_scale = str(data["reject_scale"]) or None
         return rec
 
 

@@ -53,6 +53,65 @@ def test_recognize_command(corpus_dir, tmp_path, capsys):
     assert wav in out
 
 
+def test_recognize_reject_flag(corpus_dir, tmp_path, capsys):
+    """enroll stores a calibrated rejection threshold; recognize
+    --reject returns <reject> for an out-of-vocabulary WAV."""
+    from dsp_tpu.io.dataset import synth_word
+    from dsp_tpu.io.wav import write_wav
+    from dsp_tpu.models.knn_dtw import REJECT, KnnDtwRecognizer
+
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    assert KnnDtwRecognizer.load(bank).reject_threshold is not None
+    oov = str(tmp_path / "oov.wav")
+    write_wav(oov, 16000, synth_word("papa", 7))
+    cli.main(["recognize", "--bank", bank, "--reject", oov])
+    out = capsys.readouterr().out
+    assert REJECT in out
+    # in-vocab WAVs stay accepted under the same flag
+    lab = sorted(os.listdir(os.path.join(corpus_dir, "test")))[0]
+    wav = os.path.join(corpus_dir, "test", lab,
+                       sorted(os.listdir(
+                           os.path.join(corpus_dir, "test", lab)))[0])
+    cli.main(["recognize", "--bank", bank, "--reject", wav])
+    out = capsys.readouterr().out
+    assert REJECT not in out and lab in out
+    # loud error instead of a silently ignored flag (ADVICE r4 lesson)
+    with pytest.raises(SystemExit, match="plain classification"):
+        cli.main(["recognize", "--bank", bank, "--reject",
+                  "--connected", wav])
+    # enroll --no-reject-calibration leaves the threshold unset
+    bank2 = str(tmp_path / "bank2.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank2, "--no-reject-calibration"])
+    assert KnnDtwRecognizer.load(bank2).reject_threshold is None
+
+
+def test_evaluate_reject_oov(corpus_dir, tmp_path, capsys):
+    """evaluate --reject on a corpus containing an un-enrolled label:
+    those queries count correct iff rejected."""
+    import shutil
+
+    from dsp_tpu.io.dataset import synth_word
+    from dsp_tpu.io.wav import write_wav
+
+    bank = str(tmp_path / "bank.npz")
+    cli.main(["enroll", "--corpus", os.path.join(corpus_dir, "train"),
+              "--bank", bank])
+    test_dir = str(tmp_path / "test_oov")
+    shutil.copytree(os.path.join(corpus_dir, "test"), test_dir)
+    oov_dir = os.path.join(test_dir, "papa")
+    os.makedirs(oov_dir)
+    write_wav(os.path.join(oov_dir, "w.wav"), 16000, synth_word("papa", 7))
+    cli.main(["evaluate", "--corpus", test_dir, "--bank", bank,
+              "--reject"])
+    out = capsys.readouterr().out
+    assert "<reject>" in out
+    acc = float(out.rsplit("accuracy:", 1)[1].split("(")[0])
+    assert acc >= 0.8
+
+
 def test_recognize_connected(corpus_dir, tmp_path, capsys):
     from dsp_tpu.io.dataset import synth_connected
     from dsp_tpu.io.wav import write_wav
